@@ -1,0 +1,8 @@
+from .builder import DATASETS, build_dataset
+from .transform import TRANSFORMS, Compose
+from .utils import padded_collate_fn, bucket_capacity, LABEL_KEYS
+from .loader import DataLoader
+from .defaults import DefaultDataset, ConcatDataset, load_scene
+from .s3dis import S3DISDataset
+from .scannet import ScanNetDataset, ScanNet200Dataset
+from .modelnet import ModelNetDataset

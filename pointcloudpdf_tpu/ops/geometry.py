@@ -1,0 +1,223 @@
+"""Neighborhood geometry ops over fixed-size padded point sets.
+
+TPU-native replacements for the reference's CUDA pointops
+(libs/pointops/src/*: knn_query, ball_query, grouping, interpolation).
+Design: every op takes a single (possibly padded) point set with a validity
+mask and returns *static-shape* neighbor tables; invalid slots are signalled
+through an explicit boolean mask rather than the reference's -1 sentinel.
+Distances are computed as chunked ``||q||^2 + ||r||^2 - 2 q.r^T`` so the
+inner product rides the MXU; running top-k keeps VMEM pressure bounded.
+
+Batched variants (`*_batched`) vmap over a leading batch dimension.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+_INF = jnp.inf
+
+
+def _pairwise_dist2(query: jnp.ndarray, ref: jnp.ndarray) -> jnp.ndarray:
+    """Squared euclidean distance matrix (Mq, Nr) via MXU-friendly matmul."""
+    q2 = jnp.sum(query * query, axis=-1, keepdims=True)      # (M, 1)
+    r2 = jnp.sum(ref * ref, axis=-1, keepdims=True).T        # (1, N)
+    # full fp32 MXU passes: coordinate geometry cannot tolerate bf16 rounding
+    cross = jnp.dot(
+        query,
+        ref.T,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    d2 = q2 + r2 - 2.0 * cross
+    return jnp.maximum(d2, 0.0)
+
+
+def _merge_topk(best_d, best_i, cand_d, cand_i, k: int):
+    """Merge (M,k) running best with (M,C) candidates; keep k smallest."""
+    all_d = jnp.concatenate([best_d, cand_d], axis=-1)
+    all_i = jnp.concatenate([best_i, cand_i], axis=-1)
+    neg_d, arg = jax.lax.top_k(-all_d, k)
+    return -neg_d, jnp.take_along_axis(all_i, arg, axis=-1)
+
+
+def knn(
+    query: jnp.ndarray,
+    ref: jnp.ndarray,
+    k: int,
+    query_mask: Optional[jnp.ndarray] = None,
+    ref_mask: Optional[jnp.ndarray] = None,
+    chunk_size: int = 4096,
+    query_tile: int = 4096,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """k nearest neighbors of each query among valid ref points.
+
+    Equivalent of the reference kNN CUDA kernel
+    (libs/pointops/src/knn_query/knn_query_cuda_kernel.cu:60-112) minus the
+    per-batch offset scan: batching is handled by vmap over padded samples.
+
+    Returns (idx (M, k) int32, dist2 (M, k) f32) sorted ascending by
+    distance. Slots beyond the number of valid refs have dist2 == +inf.
+    """
+    M = query.shape[0]
+    N = ref.shape[0]
+    query = query.astype(jnp.float32)
+    ref = ref.astype(jnp.float32)
+    if ref_mask is None:
+        ref_mask = jnp.ones((N,), bool)
+
+    if N <= chunk_size:
+        d2 = _pairwise_dist2(query, ref)
+        d2 = jnp.where(ref_mask[None, :], d2, _INF)
+        neg_d, idx = jax.lax.top_k(-d2, k)
+        return idx.astype(jnp.int32), -neg_d
+
+    # pad ref to a multiple of chunk_size
+    n_chunks = -(-N // chunk_size)
+    pad_n = n_chunks * chunk_size - N
+    ref_p = jnp.pad(ref, ((0, pad_n), (0, 0)))
+    mask_p = jnp.pad(ref_mask, (0, pad_n))
+    ref_chunks = ref_p.reshape(n_chunks, chunk_size, 3)
+    mask_chunks = mask_p.reshape(n_chunks, chunk_size)
+
+    def tile_fn(q_tile):
+        def scan_body(carry, inp):
+            best_d, best_i = carry
+            r_c, m_c, c_start = inp
+            d2 = _pairwise_dist2(q_tile, r_c)
+            d2 = jnp.where(m_c[None, :], d2, _INF)
+            cand_i = (
+                jax.lax.broadcasted_iota(jnp.int32, (q_tile.shape[0], chunk_size), 1)
+                + c_start
+            )
+            best_d, best_i = _merge_topk(best_d, best_i, d2, cand_i, k)
+            return (best_d, best_i), None
+
+        init = (
+            jnp.full((q_tile.shape[0], k), _INF, jnp.float32),
+            jnp.zeros((q_tile.shape[0], k), jnp.int32),
+        )
+        starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk_size
+        (best_d, best_i), _ = jax.lax.scan(
+            scan_body, init, (ref_chunks, mask_chunks, starts)
+        )
+        return best_i, best_d
+
+    n_tiles = -(-M // query_tile)
+    pad_m = n_tiles * query_tile - M
+    q_p = jnp.pad(query, ((0, pad_m), (0, 0)))
+    q_tiles = q_p.reshape(n_tiles, query_tile, 3)
+    idx_t, d_t = jax.lax.map(tile_fn, q_tiles)
+    idx = idx_t.reshape(-1, k)[:M]
+    dist2 = d_t.reshape(-1, k)[:M]
+    return idx, dist2
+
+
+def ball_query(
+    query: jnp.ndarray,
+    ref: jnp.ndarray,
+    radius: float,
+    k: int,
+    query_mask: Optional[jnp.ndarray] = None,
+    ref_mask: Optional[jnp.ndarray] = None,
+    min_radius: float = 0.0,
+    **knn_kwargs,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Up to k neighbors within [min_radius, radius] of each query.
+
+    Equivalent of libs/pointops/src/ball_query + torch_points_kernels
+    ``tp.ball_query`` (used by PDF pseudo-labeling,
+    recognizers/ours/pointpdf_v1m1_base.py:122-149). Realised as masked kNN:
+    the k nearest are found, then those outside the annulus are invalidated.
+    Returns (idx (M,k) int32, neighbor_mask (M,k) bool); invalid slots hold
+    the query's own first valid neighbor index (self-padding).
+
+    Note: distances come from the matmul identity, which carries ~1e-6
+    absolute noise at unit scale, so ``min_radius`` must be >= ~1e-3 to
+    reliably exclude coincident points.
+    """
+    idx, dist2 = knn(query, ref, k, query_mask, ref_mask, **knn_kwargs)
+    inside = (dist2 <= radius * radius) & (dist2 >= min_radius * min_radius)
+    inside &= jnp.isfinite(dist2)
+    first = idx[:, :1]
+    idx = jnp.where(inside, idx, first)
+    return idx, inside
+
+
+def grouping(
+    feat: jnp.ndarray,
+    idx: jnp.ndarray,
+    coord: Optional[jnp.ndarray] = None,
+    new_coord: Optional[jnp.ndarray] = None,
+    with_coord: bool = False,
+) -> jnp.ndarray:
+    """Gather neighbor features (M, K, C); optionally prepend relative xyz.
+
+    Equivalent of libs/pointops grouping + the ``with_xyz`` composite
+    (libs/pointops/functions/utils.py:5-121). Relative coords are
+    ``ref_xyz[idx] - query_xyz`` as in knn_query_and_group.
+    """
+    grouped = feat[idx]  # (M, K, C) gather
+    if with_coord:
+        assert coord is not None and new_coord is not None
+        rel = coord[idx] - new_coord[:, None, :]  # (M, K, 3)
+        grouped = jnp.concatenate([rel, grouped], axis=-1)
+    return grouped
+
+
+def interpolation(
+    src_coord: jnp.ndarray,
+    dst_coord: jnp.ndarray,
+    src_feat: jnp.ndarray,
+    k: int = 3,
+    src_mask: Optional[jnp.ndarray] = None,
+    dst_mask: Optional[jnp.ndarray] = None,
+    eps: float = 1e-8,
+    **knn_kwargs,
+) -> jnp.ndarray:
+    """k-NN inverse-distance-weighted feature upsampling.
+
+    Equivalent of libs/pointops/src/interpolation (k=3 IDW): for each dst
+    point find the k nearest valid src points and blend their features with
+    1/d weights normalized to sum 1.
+    """
+    idx, dist2 = knn(dst_coord, src_coord, k, dst_mask, src_mask, **knn_kwargs)
+    valid = jnp.isfinite(dist2)
+    w = 1.0 / (jnp.sqrt(jnp.maximum(dist2, 0.0)) + eps)
+    w = jnp.where(valid, w, 0.0)
+    w = w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), eps)
+    neighbors = src_feat[idx]  # (M, k, C)
+    return jnp.sum(neighbors * w[..., None].astype(neighbors.dtype), axis=-2)
+
+
+# --------------------------------------------------------------------------
+# batched (vmap) wrappers over a leading batch dimension
+# --------------------------------------------------------------------------
+
+def knn_batched(query, ref, k, query_mask=None, ref_mask=None, **kw):
+    fn = functools.partial(knn, k=k, **kw)
+    return jax.vmap(fn)(query, ref, query_mask=query_mask, ref_mask=ref_mask)
+
+
+def ball_query_batched(query, ref, radius, k, query_mask=None, ref_mask=None, **kw):
+    fn = functools.partial(ball_query, radius=radius, k=k, **kw)
+    return jax.vmap(fn)(query, ref, query_mask=query_mask, ref_mask=ref_mask)
+
+
+def grouping_batched(feat, idx, coord=None, new_coord=None, with_coord=False):
+    if with_coord:
+        return jax.vmap(
+            functools.partial(grouping, with_coord=True)
+        )(feat, idx, coord, new_coord)
+    return jax.vmap(grouping)(feat, idx)
+
+
+def interpolation_batched(src_coord, dst_coord, src_feat, k=3,
+                          src_mask=None, dst_mask=None, **kw):
+    fn = functools.partial(interpolation, k=k, **kw)
+    return jax.vmap(fn)(src_coord, dst_coord, src_feat,
+                        src_mask=src_mask, dst_mask=dst_mask)
