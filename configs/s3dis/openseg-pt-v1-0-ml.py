@@ -1,0 +1,8 @@
+# S3DIS open-set MaxLogit baseline (reference configs/s3dis/openseg-pt-v1-0-ml.py).
+_base_ = ["./openseg-pt-v1-0-pointpdf-v1m1-base.py"]
+
+recognizer = dict(
+    _delete_=True,
+    type="MaxProbability",
+    method="max_logits",
+)

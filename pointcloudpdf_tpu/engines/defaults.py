@@ -1,0 +1,104 @@
+"""Engine defaults: argument parsing, config resolution, run setup.
+
+Reference contract (pointcept/engines/defaults.py:62-152): config-name
+protocol ``configs/<dataset>/<name>.py`` (or the ``dataset/name``
+shorthand), CLI ``--options k=v`` overrides, save-path layout, seed
+settling, epoch/eval-epoch loop math.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from ..utils import comm
+from ..utils.config import Config, DictAction
+from ..utils.env import get_random_seed, set_seed
+from ..utils.logger import get_root_logger
+
+
+def default_argument_parser(epilog=None):
+    parser = argparse.ArgumentParser(
+        epilog=epilog or "pointcloudpdf_tpu launcher", add_help=True
+    )
+    parser.add_argument(
+        "--config-file", default="", metavar="FILE", help="path to config file"
+    )
+    parser.add_argument(
+        "--num-gpus", type=int, default=1,
+        help="accepted for reference-CLI parity; the device count comes "
+             "from the JAX runtime",
+    )
+    parser.add_argument(
+        "--options", nargs="+", action=DictAction, help="custom options"
+    )
+    return parser
+
+
+def default_config_parser(file_path: str, options=None) -> Config:
+    # config-name protocol: dataset/name -> configs/dataset/name.py
+    if os.path.isfile(file_path):
+        path = file_path
+    else:
+        path = os.path.join("configs", file_path)
+        if not path.endswith(".py"):
+            path += ".py"
+    cfg = Config.fromfile(path)
+    if options is not None:
+        cfg.merge_from_dict(options)
+
+    if cfg.get("seed", None) is None:
+        cfg.seed = get_random_seed()
+
+    cfg.setdefault("data_root", None)
+    cfg.setdefault("weight", None)
+    cfg.setdefault("resume", False)
+    cfg.setdefault("evaluate", True)
+    cfg.setdefault("test_only", False)
+
+    if not cfg.get("save_path"):
+        # exp/<dataset>/<config-name> layout
+        rel = os.path.splitext(os.path.relpath(path, "configs"))[0] \
+            if path.startswith("configs") else os.path.splitext(
+                os.path.basename(path))[0]
+        cfg.save_path = os.path.join("exp", rel)
+
+    # epoch loop math: dataset repeats epoch//eval_epoch times per
+    # evaluation epoch (reference defaults.py:131-146)
+    cfg.setdefault("eval_epoch", cfg.get("epoch", 1))
+    assert cfg.epoch % cfg.eval_epoch == 0
+    if "data" in cfg and "train" in cfg.data:
+        cfg.data.train.loop = cfg.epoch // cfg.eval_epoch
+    return cfg
+
+
+def enable_compile_cache(path: str = "/tmp/pointcloudpdf_jax_cache"):
+    """Persistent XLA compile cache: on repeat runs every jitted program
+    (train step, eval step, fragment buckets) loads instead of compiling."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # older jax without these flags
+        os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", path)
+
+
+def default_setup(cfg: Config) -> Config:
+    enable_compile_cache()
+    world_size = comm.get_world_size()
+    assert cfg.batch_size % world_size == 0 or world_size == 1
+    seed = None if cfg.get("seed") is None else cfg.seed * 2 + comm.get_rank()
+    set_seed(seed)
+
+    os.makedirs(cfg.save_path, exist_ok=True)
+    log_file = os.path.join(cfg.save_path, "train.log")
+    logger = get_root_logger(
+        log_file=log_file if comm.is_main_process() else None
+    )
+    logger.info(f"Save path: {cfg.save_path}")
+    logger.info(f"Config:\n{cfg.pretty_text}")
+    if comm.is_main_process():
+        cfg.dump(os.path.join(cfg.save_path, "config.py"))
+    return cfg

@@ -1,0 +1,6 @@
+from .builder import MODELS, build_model
+from .losses import LOSSES, Criteria, build_criteria
+from .norm import MaskedBatchNorm
+from .default import DefaultSegmentor, DefaultSegmentorV2, DefaultClassifier
+from . import point_transformer  # registers PT-v1 seg/cls variants
+from .utils.structure import Points

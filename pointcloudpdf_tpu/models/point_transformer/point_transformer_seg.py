@@ -1,0 +1,132 @@
+"""Point Transformer v1 segmentation backbones.
+
+TPU-native re-design of the reference PT-v1 U-Net
+(pointcept/models/point_transformer/point_transformer_seg.py:195-327):
+five encoder stages (stride 1,4,4,4,4) and five decoder stages over padded
+batches. The backbone also returns an ``intermediates`` dict of per-stage
+Points — the functional replacement for the reference's forward hooks
+(models/utils/model_hook.py) consumed by the open-set recognizers.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..builder import MODELS
+from ..norm import MaskedBatchNorm
+from ..utils.structure import Points
+from .modules import Bottleneck, TransitionDown, TransitionUp
+
+PLANES = (32, 64, 128, 256, 512)
+STRIDES = (1, 4, 4, 4, 4)
+NSAMPLES = (8, 16, 16, 16, 16)
+SHARE_PLANES = 8
+
+
+class EncoderStage(nn.Module):
+    in_planes: int
+    planes: int
+    blocks: int
+    stride: int
+    nsample: int
+
+    @nn.compact
+    def __call__(self, pts: Points, train: bool = True) -> Points:
+        pts = TransitionDown(
+            self.in_planes, self.planes, self.stride, self.nsample, name="down"
+        )(pts, train)
+        for i in range(self.blocks):
+            pts = Bottleneck(
+                self.planes, self.planes, SHARE_PLANES, self.nsample,
+                name=f"block{i}",
+            )(pts, train)
+        return pts
+
+
+class DecoderStage(nn.Module):
+    in_planes: int
+    planes: int
+    blocks: int
+    nsample: int
+    is_head: bool = False
+
+    @nn.compact
+    def __call__(self, pts: Points, coarse=None, train: bool = True) -> Points:
+        feat = TransitionUp(
+            self.in_planes, None if self.is_head else self.planes, name="up"
+        )(pts, coarse, train)
+        pts = Points(pts.coord, feat, pts.mask)
+        for i in range(self.blocks):
+            pts = Bottleneck(
+                self.planes, self.planes, SHARE_PLANES, self.nsample,
+                name=f"block{i}",
+            )(pts, train)
+        return pts
+
+
+class PointTransformerSeg(nn.Module):
+    """U-shaped PT-v1; returns (seg_logits (B,N,num_classes), intermediates)."""
+
+    blocks: Sequence[int]
+    in_channels: int = 6
+    num_classes: int = 13
+
+    @nn.compact
+    def __call__(self, input_dict: Dict, train: bool = True
+                 ) -> Tuple[jnp.ndarray, Dict[str, Points]]:
+        pts = Points(
+            input_dict["coord"].astype(jnp.float32),
+            input_dict["feat"],
+            input_dict["mask"],
+        )
+        inter: Dict[str, Points] = {}
+
+        planes = list(PLANES)
+        enc_pts = []
+        in_planes = self.in_channels
+        for level in range(5):
+            pts = EncoderStage(
+                in_planes, planes[level], self.blocks[level],
+                STRIDES[level], NSAMPLES[level], name=f"enc{level + 1}",
+            )(pts, train)
+            in_planes = planes[level]
+            enc_pts.append(pts)
+            inter[f"enc{level + 1}"] = pts
+
+        # decoder: dec5 is the global-context head, dec4..dec1 fuse skips
+        dec = DecoderStage(
+            planes[4], planes[4], 1, NSAMPLES[4], is_head=True, name="dec5"
+        )(enc_pts[4], None, train)
+        inter["dec5"] = dec
+        for level in range(3, -1, -1):
+            dec = DecoderStage(
+                planes[level + 1], planes[level], 1, NSAMPLES[level],
+                name=f"dec{level + 1}",
+            )(enc_pts[level], dec, train)
+            inter[f"dec{level + 1}"] = dec
+
+        y = nn.Dense(planes[0], name="cls1")(dec.feat)
+        y = MaskedBatchNorm(planes[0], name="cls_bn")(y, dec.mask, train)
+        y = nn.relu(y)
+        seg_logits = nn.Dense(self.num_classes, name="cls2")(y)
+        return seg_logits, inter
+
+
+# linen modules are frozen dataclasses, so depth variants register as
+# factory functions rather than subclasses
+@MODELS.register_module("PointTransformer-Seg26")
+def point_transformer_seg26(**kwargs):
+    return PointTransformerSeg(blocks=(1, 1, 1, 1, 1), **kwargs)
+
+
+@MODELS.register_module("PointTransformer-Seg38")
+def point_transformer_seg38(**kwargs):
+    return PointTransformerSeg(blocks=(1, 2, 2, 2, 2), **kwargs)
+
+
+@MODELS.register_module("PointTransformer-Seg50")
+def point_transformer_seg50(**kwargs):
+    return PointTransformerSeg(blocks=(1, 2, 3, 5, 2), **kwargs)

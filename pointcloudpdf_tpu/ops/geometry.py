@@ -65,10 +65,23 @@ def knn(
     """
     M = query.shape[0]
     N = ref.shape[0]
-    query = query.astype(jnp.float32)
-    ref = ref.astype(jnp.float32)
+    query = jnp.asarray(query, jnp.float32)
+    ref = jnp.asarray(ref, jnp.float32)
     if ref_mask is None:
         ref_mask = jnp.ones((N,), bool)
+    else:
+        ref_mask = jnp.asarray(ref_mask)
+
+    if k > N:
+        # fewer candidates than neighbors: pad with the nearest neighbor
+        idx, dist2 = knn(query, ref, N, query_mask, ref_mask,
+                         chunk_size=chunk_size, query_tile=query_tile)
+        pad_idx = jnp.broadcast_to(idx[:, :1], (M, k - N))
+        pad_d = jnp.full((M, k - N), _INF, jnp.float32)
+        return (
+            jnp.concatenate([idx, pad_idx], axis=1),
+            jnp.concatenate([dist2, pad_d], axis=1),
+        )
 
     if N <= chunk_size:
         d2 = _pairwise_dist2(query, ref)

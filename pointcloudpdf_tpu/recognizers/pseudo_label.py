@@ -1,0 +1,249 @@
+"""PDF pseudo-labeling: host-side graph search over device neighbor tables.
+
+Re-implementation (numpy/scipy/sklearn) of the reference pseudo-labeling
+scheme (pointcept/recognizers/ours/pointpdf_v1m1_base.py:187-382 and
+recognizers/ours/utils.py:7-132).  The device computes softmax scores and
+fixed-K ball-query neighbor tables; this module then runs, per batch item:
+
+1. seed selection from the low-confidence quantile,
+2. iterative mean-shift region growth mixing 0.4*distance + 0.6*confidence
+   similarity until a z-score stop condition,
+3. a minimum-spanning-tree over the grown region's similarity graph,
+4. a GaussianMixture(2) z-filter on MST edge weights,
+5. connected-component size z-filtering,
+
+producing a boolean pseudo-unknown mask.  This stage is CPU code in the
+reference as well (scipy MST / sklearn GMM on host, under joblib(4)); it
+runs only after ``start_epoch`` and outside the jit step, so it is not on
+the compiled hot path.
+
+Known reference quirks reproduced deliberately (behavioral parity):
+- the GMM *covariance* (not its sqrt) is used as the "std" in the edge
+  z-filter,
+- `scipy.minimum_spanning_tree` runs on similarity (not distance) weights,
+- edges *above* the z lower-bound are removed, keeping only low-similarity
+  MST edges before connected components.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+from scipy.sparse import csr_matrix
+from scipy.sparse.csgraph import connected_components, minimum_spanning_tree
+
+
+def _softmax(x: np.ndarray, axis: int = -1) -> np.ndarray:
+    x = x - x.max(axis=axis, keepdims=True)
+    e = np.exp(x)
+    return e / e.sum(axis=axis, keepdims=True)
+
+
+def z_score_mask(x: np.ndarray, mean=None, std=None, area="right",
+                 score: float = 3.0) -> np.ndarray:
+    """True where x is a z-outlier on the given side (utils.py:85-96)."""
+    mean = np.mean(x) if mean is None else mean
+    std = np.std(x) if std is None else std
+    if area == "left":
+        z = (mean - x) / std
+    elif area == "right":
+        z = (x - mean) / std
+    elif area == "both":
+        z = np.abs((x - mean) / std)
+    else:
+        raise ValueError("area must be left, right or both")
+    return z > score
+
+
+def z_score_filter(x: np.ndarray, mean=None, std=None, area="left",
+                   score: float = 3.0) -> np.ndarray:
+    """True where x is past mean -/+ score*std (utils.py:118-132)."""
+    mean = np.mean(x) if mean is None else mean
+    std = np.std(x) if std is None else std
+    if area == "left":
+        return x < mean - score * std
+    if area == "right":
+        return x > mean + score * std
+    if area == "both":
+        return (x < mean - score * std) | (x > mean + score * std)
+    raise ValueError("area must be left, right or both")
+
+
+def _row_distance_similarity(node: np.ndarray, node_nn: np.ndarray,
+                             coord: np.ndarray) -> np.ndarray:
+    """Per-row min-max-normalised inverted distance (utils.py:7-31).
+
+    Invalid (sentinel / self) slots get -10 like the reference.
+    """
+    valid = node_nn != -1
+    self_m = node_nn == node[:, None]
+    use = valid & ~self_m
+    d = np.linalg.norm(coord[np.clip(node_nn, 0, None)] - coord[node][:, None],
+                       axis=-1)
+    d_use = np.where(use, d, 0.0)
+    d_min = d_use.min(axis=-1, keepdims=True)
+    d_max = d_use.max(axis=-1, keepdims=True)
+    sim = 1.0 - (d - d_min) / (d_max - d_min + 1e-3)
+    return np.where(use, sim, -10.0)
+
+
+def _row_confidence_similarity(node: np.ndarray, node_nn: np.ndarray,
+                               score: np.ndarray) -> np.ndarray:
+    """exp(-|score diff|) per neighbor slot (utils.py:34-43)."""
+    valid = node_nn != -1
+    self_m = node_nn == node[:, None]
+    use = valid & ~self_m
+    sim = np.exp(-np.abs(score[np.clip(node_nn, 0, None)] - score[node][:, None]))
+    return np.where(use, sim, -10.0)
+
+
+def pseudo_labeling(
+    coord: np.ndarray,          # (N, 3)
+    seg_logits: np.ndarray,     # (N, K)
+    neighbors: np.ndarray,      # (N, Kn) int, -1 = invalid slot
+    condition_from: str = "msp",
+    beta: float = 1.5,
+    seed_from: str = "ml",
+    seed_range: float = 0.01,
+    num_seed: int = 20,
+    slide_window: bool = True,
+    rng: Optional[np.random.RandomState] = None,
+) -> np.ndarray:
+    """One scene -> (N,) bool pseudo-unknown mask."""
+    rng = rng or np.random.RandomState()
+    n = len(coord)
+    if n == 0:
+        return np.zeros((0,), bool)
+
+    msp = _softmax(seg_logits).max(axis=-1)
+    ml = seg_logits.max(axis=-1)
+    ml = (ml - ml.min()) / (ml.max() - ml.min() + 1e-6)
+
+    grow_score = msp if condition_from == "msp" else ml
+    stop_condition = grow_score.mean() - beta * grow_score.std()
+    seed_score = msp if seed_from == "msp" else ml
+
+    # seeds: random draws from the lowest-score quantile
+    hi = max(int(seed_range * n), 1)
+    dice = rng.randint(0, hi, size=num_seed)
+    graph_idx = np.argsort(seed_score, kind="stable")[dice]
+    graph_idx = np.unique(graph_idx)
+
+    # ---- iterative mean-shift region growth -------------------------------
+    while True:
+        g_score = grow_score[graph_idx]
+        if (
+            g_score.mean() > stop_condition
+            and len(graph_idx) > 0.01 * n
+            and len(graph_idx) > 50
+        ):
+            break
+        cand = np.unique(neighbors[graph_idx])
+        cand = cand[(cand != -1) & ~np.isin(cand, graph_idx)]
+        if cand.size == 0:
+            break
+        # spatial pull toward the region centroid
+        d = np.linalg.norm(coord[cand] - coord[graph_idx].mean(0), axis=-1)
+        dist_sim = 1.0 - (d - d.min()) / (d.max() - d.min() + 1e-3)
+        # confidence pull toward the (windowed) region mean score
+        if slide_window and len(g_score) >= 2:
+            lo = np.partition(g_score, max(int(len(g_score) * 0.1) - 1, 0))[
+                max(int(len(g_score) * 0.1) - 1, 0)
+            ]
+            hi_v = np.partition(g_score, max(int(len(g_score) * 0.6) - 1, 0))[
+                max(int(len(g_score) * 0.6) - 1, 0)
+            ]
+        else:
+            lo, hi_v = g_score.min(), g_score.max()
+        window = g_score[(g_score >= lo) & (g_score <= hi_v)]
+        center = window.mean() if window.size else g_score.mean()
+        conf_sim = np.exp(-np.abs(grow_score[cand] - center))
+        similarity = 0.4 * dist_sim + 0.6 * conf_sim
+        k = int(similarity.size * 0.4)
+        if k == 0:
+            break
+        joined = cand[np.argsort(-similarity, kind="stable")[:k]]
+        new_graph = np.unique(np.concatenate([graph_idx, joined]))
+        if new_graph.shape[0] == graph_idx.shape[0]:
+            break
+        graph_idx = new_graph
+
+    # ---- graph boundary detection: MST + GMM edge filter + CC sizes -------
+    node = graph_idx
+    node_nn = neighbors[node]
+    dist_sim = _row_distance_similarity(node, node_nn, coord)
+    conf_sim = _row_confidence_similarity(node, node_nn, msp)
+    similarity = 0.4 * dist_sim + 0.6 * conf_sim
+
+    valid = node_nn != -1
+    in_graph = np.isin(node_nn, node)
+    self_m = node_nn == node[:, None]
+    edge_mask = (valid & in_graph & ~self_m).ravel()
+    rows = np.repeat(node, node_nn.shape[1])[edge_mask]
+    cols = node_nn.ravel()[edge_mask]
+    weights = similarity.ravel()[edge_mask]
+    if weights.size < 2:
+        return np.zeros(n, bool)
+
+    adj = csr_matrix((weights, (rows, cols)), shape=(n, n))
+    mst = minimum_spanning_tree(adj)
+    mst_w = mst.data
+    if mst_w.size < 2:
+        return np.zeros(n, bool)
+
+    try:
+        from sklearn.mixture import GaussianMixture
+
+        gmm = GaussianMixture(n_components=2).fit(mst_w.reshape(-1, 1))
+        means = gmm.means_.ravel()
+        covs = gmm.covariances_.ravel()
+    except Exception:  # degenerate fit: fall back to sample stats
+        means = np.array([mst_w.mean(), mst_w.mean()])
+        covs = np.array([mst_w.var(), mst_w.var()])
+    hi_comp = int(np.argmax(means))
+    # reference quirk: covariance passed where std is expected
+    keep_low = z_score_filter(mst_w, means[hi_comp], covs[hi_comp], "left", 2.0)
+    mst.data[~keep_low] = 0
+    mst.eliminate_zeros()
+
+    _, labels = connected_components(mst, directed=False)
+    touched = np.unique(np.concatenate([node, node_nn.ravel()]))
+    touched = touched[touched != -1]
+    touched_labels = labels[touched]
+    uniq, sizes = np.unique(touched_labels, return_counts=True)
+    big = z_score_mask(sizes, area="right", score=2.0)
+    accept_labels = uniq[big]
+    mask = np.isin(labels, accept_labels)
+    # accepted nodes are always a subset of the grown region
+    mask &= np.isin(np.arange(n), node)
+    return mask
+
+
+def pseudo_labeling_batch(
+    coord: np.ndarray,        # (B, N, 3)
+    seg_logits: np.ndarray,   # (B, N, K)
+    neighbors: np.ndarray,    # (B, N, Kn) int, -1 invalid
+    count: np.ndarray,        # (B,) valid points per sample
+    seed: int = 0,
+    n_jobs: int = 4,
+    **kwargs,
+) -> np.ndarray:
+    """Padded batch -> (B, N) bool mask; parallel over batch items
+    (reference joblib(4), pointpdf_v1m1_base.py:161-174)."""
+    from joblib import Parallel, delayed
+
+    B, N = coord.shape[:2]
+
+    def one(i):
+        c = int(count[i])
+        m = pseudo_labeling(
+            coord[i, :c], seg_logits[i, :c], neighbors[i, :c],
+            rng=np.random.RandomState(seed + i), **kwargs,
+        )
+        out = np.zeros((N,), bool)
+        out[:c] = m
+        return out
+
+    masks = Parallel(n_jobs=min(n_jobs, B))(delayed(one)(i) for i in range(B))
+    return np.stack(masks)

@@ -9,5 +9,6 @@ from .misc import (
     average_precision,
     roc_auc,
     aupr_and_auroc,
+    selected_mask,
     make_dirs,
 )

@@ -108,18 +108,30 @@ def roc_auc(labels, scores) -> float:
     return float(np.trapezoid(tpr, fpr))
 
 
-def aupr_and_auroc(scores, target, unknown_is: int = 1, ignore_index: int = -1):
+def aupr_and_auroc(scores, target, unknown_label=1, ignore_index: int = -1):
     """Open-set metrics: score should be high for unknown points.
 
-    ``target`` uses 1 for unknown, 0 for known, ``ignore_index`` for padding
-    (reference semantics: pointcept/utils/misc.py:70-87).
+    ``unknown_label`` is an int or a list of class ids considered unknown
+    (reference semantics: pointcept/utils/misc.py:70-87). Returns
+    ``(None, None)`` when the batch contains no unknown points, mirroring
+    the reference so evaluators can skip the record.
     """
     scores = np.asarray(scores).reshape(-1)
     target = np.asarray(target).reshape(-1)
     valid = target != ignore_index
     scores, target = scores[valid], target[valid]
-    labels = (target == unknown_is).astype(np.int64)
+    labels = np.isin(target, unknown_label).astype(np.int64)
+    if labels.sum() == 0:
+        return None, None
     return average_precision(labels, scores), roc_auc(labels, scores)
+
+
+def selected_mask(select, num_classes: int) -> np.ndarray:
+    """(num_classes,) bool, True at the selected class ids
+    (reference utils/misc.py:184)."""
+    mask = np.zeros(num_classes, bool)
+    mask[np.asarray(select, dtype=np.int64)] = True
+    return mask
 
 
 # --------------------------------------------------------------------------

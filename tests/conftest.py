@@ -7,16 +7,52 @@ paths (pjit/shard_map over a Mesh) are exercised without TPU hardware.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# persistent compile cache: repeated test runs skip XLA recompiles
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import functools
+
 import numpy as np
 import pytest
+
+# Correctness-only CI: XLA's optimization pipeline dominates compile time
+# on this box (a PT-v1 train step drops from >570s to ~25s) and tests only
+# check numerics within tolerances, so run with most optimizations off.
+import jax
+
+jax.config.update("jax_disable_most_optimizations", True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)
+
+
+# -- jitted module helpers ----------------------------------------------------
+# Eager flax init/apply dispatches every op separately; on this 1-core CI
+# box that is ~20x slower than compiling the whole program, so tests always
+# go through jit (which also exercises the real execution path).
+
+def jit_init(model, rngs, *args, **static_kwargs):
+    import jax
+
+    return jax.jit(functools.partial(model.init, **static_kwargs))(rngs, *args)
+
+
+def jit_apply(model, variables, *args, rngs=None, **static_kwargs):
+    import jax
+
+    fn = jax.jit(functools.partial(model.apply, **static_kwargs))
+    if rngs is not None:
+        return fn(variables, *args, rngs=rngs)
+    return fn(variables, *args)
