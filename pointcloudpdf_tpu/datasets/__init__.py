@@ -6,3 +6,9 @@ from .defaults import DefaultDataset, ConcatDataset, load_scene
 from .s3dis import S3DISDataset
 from .scannet import ScanNetDataset, ScanNet200Dataset
 from .modelnet import ModelNetDataset
+from .semantic_kitti import SemanticKITTIDataset
+from .nuscenes import NuScenesDataset
+from .waymo import WaymoDataset
+from .structured3d import Structured3DDataset
+from .shapenet_part import ShapeNetPartDataset
+from .arkitscenes import ArkitScenesDataset

@@ -51,6 +51,7 @@ class DefaultDataset:
         transform=None,
         test_mode=False,
         test_cfg=None,
+        cache=False,
         loop=1,
     ):
         self.data_root = data_root
@@ -59,6 +60,10 @@ class DefaultDataset:
         self.loop = loop if not test_mode else 1  # loop is a train-only knob
         self.test_mode = test_mode
         self.test_cfg = test_cfg if test_mode else None
+        # host-memory scene cache (the reference's /dev/shm SharedArray
+        # cache, utils/cache.py:20-56; threads share the dict directly)
+        self.cache = cache
+        self._cache: dict = {}
 
         if test_mode:
             self.test_voxelize = (
@@ -89,8 +94,26 @@ class DefaultDataset:
                 data_list += glob.glob(os.path.join(self.data_root, split, f"*{ext}"))
         return sorted(data_list)
 
+    def cache_all(self) -> int:
+        """Preload every scene (DataCacheOperator hook)."""
+        if not self.cache:
+            self.cache = True
+        for i in range(len(self.data_list)):
+            self._cached_scene(i)
+        return len(self.data_list)
+
+    def _cached_scene(self, idx: int) -> dict:
+        if not self.cache:
+            return load_scene(self.data_list[idx])
+        if idx not in self._cache:
+            self._cache[idx] = load_scene(self.data_list[idx])
+        return self._cache[idx]
+
     def get_data(self, idx):
-        data = load_scene(self.data_list[idx % len(self.data_list)])
+        data = self._cached_scene(idx % len(self.data_list))
+        if self.cache:
+            # transforms may write in place; never hand out cached buffers
+            data = {k: np.array(v) for k, v in data.items()}
         coord = data["coord"]
         segment = (
             data["semantic_gt"].reshape(-1)

@@ -79,8 +79,7 @@ def enable_compile_cache(path: str = "/tmp/pointcloudpdf_jax_cache"):
 
     try:
         jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     except Exception:  # older jax without these flags
         os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", path)
 

@@ -430,3 +430,111 @@ class IncrSegCheckpointLoader(HookBase):
                 rewrite={"backbone_module/": ""},
                 allow_partial_rows=partial,
             )
+
+
+@HOOKS.register_module()
+class PreciseEvaluator(HookBase):
+    """Run the full fragment tester in-process after training
+    (reference misc.py:769-793)."""
+
+    def __init__(self, test_last: bool = False):
+        self.test_last = test_last
+
+    def after_train(self):
+        trainer = self.trainer
+        trainer.logger.info(
+            ">>>>>>>>>>>>>>>> Start Precise Evaluation >>>>>>>>>>>>>>>>"
+        )
+        from ..test import TESTERS
+
+        cfg = trainer.cfg
+        if self.test_last:
+            cfg.weight = os.path.join(cfg.save_path, "model", "model_last.pth")
+        else:
+            best = (
+                "model_best.pth"
+                if not isinstance(trainer.best_metric_value, dict)
+                else "model_best_mIoU.pth"
+            )
+            cfg.weight = os.path.join(cfg.save_path, "model", best)
+        test_cfg = cfg.get("test", {}) or {}
+        tester = TESTERS.build(
+            dict(type=test_cfg.get("type", "SemSegTester"), cfg=cfg)
+        )
+        tester.test()
+
+
+@HOOKS.register_module()
+class DataCacheOperator(HookBase):
+    """Preload every training scene into host memory before training.
+
+    The reference pushes scenes into /dev/shm SharedArray segments so
+    forked dataloader workers share them (misc.py:796-827); our loader is
+    thread-based, so an in-process cache (DefaultDataset(cache=True))
+    gives the same no-reread property.
+    """
+
+    def before_train(self):
+        dataset = getattr(self.trainer.train_loader, "dataset", None)
+        if dataset is None or not hasattr(dataset, "cache_all"):
+            self.trainer.logger.info(
+                "DataCacheOperator: dataset does not support caching; skipped"
+            )
+            return
+        self.trainer.logger.info("=> Caching dataset to host memory ...")
+        n = dataset.cache_all()
+        self.trainer.logger.info(f"=> Cached {n} scenes")
+
+
+@HOOKS.register_module()
+class RuntimeProfiler(HookBase):
+    """jax.profiler trace of a few training steps
+    (reference torch.profiler hooks, misc.py:830-906)."""
+
+    def __init__(self, forward=True, backward=True, interrupt=False,
+                 warm_up: int = 2, active: int = 3, save_path=None):
+        self.warm_up = warm_up
+        self.active = active
+        self.interrupt = interrupt
+        self.save_path = save_path
+        self._running = False
+        self._step = 0
+
+    def before_step(self):
+        import jax
+
+        if self._step == self.warm_up:
+            path = self.save_path or os.path.join(
+                self.trainer.cfg.save_path, "profile"
+            )
+            os.makedirs(path, exist_ok=True)
+            self.trainer.logger.info(f"Profiler trace -> {path}")
+            jax.profiler.start_trace(path)
+            self._running = True
+
+    def after_step(self):
+        import jax
+
+        self._step += 1
+        if self._running and self._step >= self.warm_up + self.active:
+            jax.tree_util.tree_map(
+                lambda x: x.block_until_ready()
+                if hasattr(x, "block_until_ready") else x,
+                self.trainer.state.params,
+            )
+            jax.profiler.stop_trace()
+            self._running = False
+            self.trainer.logger.info("Profiler trace complete")
+            if self.interrupt:
+                raise SystemExit(0)
+
+
+@HOOKS.register_module()
+class RuntimeProfilerV2(RuntimeProfiler):
+    """Schedule-compatible alias (reference misc.py:909-979); the jax
+    trace already captures host + device activity in one pass."""
+
+    def __init__(self, **kwargs):
+        kwargs.setdefault("warm_up", 2)
+        kwargs.setdefault("active", 3)
+        super().__init__(**kwargs)

@@ -1,0 +1,288 @@
+"""SpUNet: sparse voxel-conv U-Net as gather/GEMM/scatter over hash maps.
+
+TPU-native re-expression of the reference SpUNet-v1m1
+(pointcept/models/sparse_unet/spconv_unet_v1m1_base.py:88-281, built on
+spconv).  Instead of spconv's rulebook CUDA kernels:
+
+- a level's voxel set is a fixed-capacity padded list (grid, mask) per
+  sample; submanifold 3³/5³ convs read a per-level ``neighbor_table``
+  (sorted-hash binary search, ops/voxel.py) and accumulate K gather-GEMMs
+  on the MXU;
+- the 2× strided conv scatters children onto ``unique_parents`` slots with
+  per-kernel-position weights (each child belongs to exactly one of the
+  2³ positions — same semantics as spconv.SparseConv3d(k=2, s=2));
+- the inverse conv reads the saved child→parent map backwards
+  (spconv.SparseInverseConv3d sharing the down conv's indice_key).
+
+Batch handling: per-sample index maps are built under vmap, then
+everything flattens to (B·N, C) so the GEMMs see one tall matrix.
+Capacity stays N at every level (static shapes; occupancy decays with
+depth), masked BN runs over valid voxels, and ``cls_mode`` ends in a
+masked per-sample mean pool (reference :276-280).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...ops.voxel import (
+    gather_conv,
+    kernel_offsets,
+    neighbor_table,
+    unique_parents,
+)
+from ..builder import MODELS
+from ..norm import MaskedBatchNorm
+from ..utils.structure import masked_mean
+
+_trunc02 = nn.initializers.truncated_normal(stddev=0.02)
+
+
+def _flatten_nbr(nbr: jnp.ndarray) -> jnp.ndarray:
+    """(B, N, K) per-sample rows -> (B*N, K) rows into the flat array."""
+    b, n, k = nbr.shape
+    base = (jnp.arange(b, dtype=jnp.int32) * n)[:, None, None]
+    return jnp.where(nbr >= 0, nbr + base, -1).reshape(b * n, k)
+
+
+def _flatten_map(idx: jnp.ndarray) -> jnp.ndarray:
+    """(B, N) per-sample slots -> (B*N,) flat slots (-1 kept)."""
+    b, n = idx.shape
+    base = (jnp.arange(b, dtype=jnp.int32) * n)[:, None]
+    return jnp.where(idx >= 0, idx + base, -1).reshape(b * n)
+
+
+class SubMConv(nn.Module):
+    """Submanifold conv over a precomputed neighbor table."""
+
+    in_channels: int
+    out_channels: int
+    num_offsets: int
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, feat: jnp.ndarray, nbr: jnp.ndarray) -> jnp.ndarray:
+        w = self.param(
+            "kernel", _trunc02,
+            (self.num_offsets, self.in_channels, self.out_channels),
+        )
+        y = gather_conv(feat, nbr, w)
+        if self.use_bias:
+            y = y + self.param(
+                "bias", nn.initializers.zeros, (self.out_channels,)
+            )
+        return y
+
+
+class SparseDownConv(nn.Module):
+    """2x strided conv: children scatter onto parent voxels.
+
+    Child at grid g contributes feat @ W[pos(g % 2)] to parent g // 2.
+    """
+
+    in_channels: int
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, feat, c2p_flat, pos, valid, num_parents):
+        w = self.param(
+            "kernel", _trunc02, (8, self.in_channels, self.out_channels)
+        )
+        out = jnp.zeros((num_parents, self.out_channels), jnp.float32)
+        idx = jnp.maximum(c2p_flat, 0)
+        for k in range(8):
+            m = (pos == k) & valid
+            contrib = jnp.dot(
+                feat * m[:, None].astype(feat.dtype),
+                w[k].astype(feat.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            out = out.at[idx].add(
+                jnp.where(m[:, None], contrib, 0.0)
+            )
+        return out.astype(feat.dtype)
+
+
+class SparseInverseConv(nn.Module):
+    """2x upsample: each child reads its parent with positional weights."""
+
+    in_channels: int
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, parent_feat, c2p_flat, pos, valid):
+        w = self.param(
+            "kernel", _trunc02, (8, self.in_channels, self.out_channels)
+        )
+        gathered = parent_feat[jnp.maximum(c2p_flat, 0)]
+        gathered = jnp.where(valid[:, None], gathered, 0.0)
+        out = jnp.zeros((gathered.shape[0], self.out_channels), jnp.float32)
+        for k in range(8):
+            m = ((pos == k) & valid)[:, None]
+            out = out + jnp.where(
+                m,
+                jnp.dot(gathered, w[k].astype(gathered.dtype),
+                        preferred_element_type=jnp.float32),
+                0.0,
+            )
+        return out.astype(parent_feat.dtype)
+
+
+class BasicBlock(nn.Module):
+    """Residual submanifold block (reference BasicBlock :23-86)."""
+
+    in_channels: int
+    embed_channels: int
+
+    @nn.compact
+    def __call__(self, feat, nbr, mask, train: bool):
+        bn = functools.partial(MaskedBatchNorm, momentum=0.01, epsilon=1e-3)
+        identity = feat
+        if self.in_channels != self.embed_channels:
+            identity = nn.Dense(
+                self.embed_channels, use_bias=False,
+                kernel_init=_trunc02, name="proj",
+            )(feat)
+            identity = bn(self.embed_channels, name="proj_bn")(
+                identity, mask, train
+            )
+        k = nbr.shape[-1]
+        y = SubMConv(self.in_channels, self.embed_channels, k, name="conv1")(
+            feat, nbr
+        )
+        y = bn(self.embed_channels, name="bn1")(y, mask, train)
+        y = nn.relu(y)
+        y = SubMConv(self.embed_channels, self.embed_channels, k, name="conv2")(
+            y, nbr
+        )
+        y = bn(self.embed_channels, name="bn2")(y, mask, train)
+        y = nn.relu(y + identity)
+        return jnp.where(mask[:, None], y, 0.0)
+
+
+@MODELS.register_module("SpUNet-v1m1")
+class SpUNet(nn.Module):
+    in_channels: int
+    num_classes: int
+    base_channels: int = 32
+    channels: Sequence[int] = (32, 64, 128, 256, 256, 128, 96, 96)
+    layers: Sequence[int] = (2, 3, 4, 6, 2, 2, 2, 2)
+    cls_mode: bool = False
+
+    @nn.compact
+    def __call__(self, input_dict: Dict, train: bool = True):
+        assert len(self.layers) % 2 == 0
+        num_stages = len(self.layers) // 2
+        bn = functools.partial(MaskedBatchNorm, momentum=0.01, epsilon=1e-3)
+
+        grid = input_dict["grid_coord"].astype(jnp.int32)   # (B, N, 3)
+        feat = input_dict["feat"]                           # (B, N, C)
+        mask = input_dict["mask"]                           # (B, N)
+        b, n = mask.shape
+
+        off5 = kernel_offsets(5)
+        off3 = kernel_offsets(3)
+        nbr5 = _flatten_nbr(
+            jax.vmap(lambda g, m: neighbor_table(g, m, off5))(grid, mask)
+        )
+        flat_feat = feat.reshape(b * n, -1)
+        flat_mask = mask.reshape(b * n)
+
+        y = SubMConv(self.in_channels, self.base_channels, off5.shape[0],
+                     name="conv_input")(flat_feat, nbr5)
+        y = bn(self.base_channels, name="bn_input")(y, flat_mask, train)
+        y = nn.relu(y)
+        y = jnp.where(flat_mask[:, None], y, 0.0)
+
+        # encoder: per level keep (feat, grid, mask, nbr) + down maps
+        level_grid, level_mask = grid, mask
+        nbr3 = _flatten_nbr(
+            jax.vmap(lambda g, m: neighbor_table(g, m, off3))(
+                level_grid, level_mask
+            )
+        )
+        skips = [(y, flat_mask, nbr3)]
+        down_maps = []  # (c2p_flat, pos, valid, child_mask_flat)
+        enc_channels = self.base_channels
+        for s in range(num_stages):
+            pos = (
+                (level_grid[..., 0] % 2) * 4
+                + (level_grid[..., 1] % 2) * 2
+                + (level_grid[..., 2] % 2)
+            ).reshape(b * n)
+            p_grid, p_mask, c2p = jax.vmap(
+                lambda g, m: unique_parents(g, m, 2)
+            )(level_grid, level_mask)
+            c2p_flat = _flatten_map(c2p)
+            valid = c2p_flat >= 0
+            flat_p_mask = p_mask.reshape(b * n)
+            y = SparseDownConv(enc_channels, self.channels[s],
+                               name=f"down{s}")(
+                y, c2p_flat, pos, valid, b * n
+            )
+            y = bn(self.channels[s], name=f"down_bn{s}")(y, flat_p_mask, train)
+            y = nn.relu(y)
+            y = jnp.where(flat_p_mask[:, None], y, 0.0)
+            down_maps.append((c2p_flat, pos, valid))
+
+            level_grid, level_mask = p_grid, p_mask
+            nbr3 = _flatten_nbr(
+                jax.vmap(lambda g, m: neighbor_table(g, m, off3))(
+                    level_grid, level_mask
+                )
+            )
+            for i in range(self.layers[s]):
+                y = BasicBlock(
+                    self.channels[s], self.channels[s],
+                    name=f"enc{s}_block{i}",
+                )(y, nbr3, flat_p_mask, train)
+            enc_channels = self.channels[s]
+            skips.append((y, flat_p_mask, nbr3))
+
+        if not self.cls_mode:
+            # decoder mirrors the encoder through the saved down maps;
+            # up[s] outputs channels[len-s-1] (the reference's build-loop
+            # dec_channels at step s, spconv_unet_v1m1_base.py:166-212)
+            y, out_mask, _ = skips.pop()
+            for s in reversed(range(num_stages)):
+                dec_channels = self.channels[len(self.channels) - s - 1]
+                c2p_flat, pos, valid = down_maps[s]
+                skip_feat, skip_mask, skip_nbr = skips.pop()
+                y = SparseInverseConv(
+                    y.shape[-1], dec_channels, name=f"up{s}"
+                )(y, c2p_flat, pos, valid)
+                y = bn(dec_channels, name=f"up_bn{s}")(y, skip_mask, train)
+                y = nn.relu(y)
+                y = jnp.concatenate([y, skip_feat], axis=-1)
+                n_blocks = self.layers[len(self.layers) - s - 1]
+                for i in range(n_blocks):
+                    y = BasicBlock(y.shape[-1], dec_channels,
+                                   name=f"dec{s}_block{i}")(
+                        y, skip_nbr, skip_mask, train
+                    )
+                out_mask = skip_mask
+        else:
+            out_mask = level_mask.reshape(b * n)
+
+        if self.num_classes > 0:
+            y = nn.Dense(self.num_classes, kernel_init=_trunc02,
+                         name="final")(y)
+        if self.cls_mode:
+            y = masked_mean(
+                y.reshape(b, n, -1), out_mask.reshape(b, n), axis=1
+            )
+            return y
+        y = jnp.where(out_mask[:, None], y, 0.0)
+        return y.reshape(b, n, -1)
+
+
+@MODELS.register_module("SpUNet-v1m2")
+def spunet_v1m2(**kwargs):
+    """bn-momentum variant registered for config parity (the momentum knob
+    lives in MaskedBatchNorm; reference spconv_unet_v1m2_base.py)."""
+    return SpUNet(**kwargs)

@@ -1,0 +1,167 @@
+"""Sparse-voxel indexing: hash tables, neighbor maps, pooling maps.
+
+TPU-native replacement for spconv's rulebook machinery (used by the
+reference SpUNet, pointcept/models/sparse_unet/spconv_unet_v1m1_base.py:
+113-227).  A "sparse tensor" here is a padded dense list: ``grid`` (N, 3)
+int32 voxel coordinates + ``mask`` (N,) validity.  All maps are built with
+sort + binary search inside jit — static shapes, no host round-trips:
+
+- submanifold conv: ``neighbor_table`` gives, per voxel, the index of the
+  voxel at each kernel offset (or -1) — conv = Σ_k gather·W_k;
+- strided conv: ``unique_parents`` dedups ``grid // stride`` into a
+  fixed-capacity parent set + child→parent map — downsample = scatter of
+  children onto parents per kernel position;
+- inverse conv: the same child→parent map read backwards.
+
+Keys pack into uint32 as x(11) y(11) z(10) bits, bounding the voxel
+extent to 2048×2048×1024 per sample — ample for indoor scans and for
+outdoor datasets at their configured grid sizes (SemanticKITTI ±50 m at
+0.05 m → 2000 cells).  Callers must shift grids non-negative
+(GridSample already emits min-shifted coords, datasets/transform.py).
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+X_BITS, Y_BITS, Z_BITS = 11, 11, 10
+
+
+def pack_grid(grid: jnp.ndarray) -> jnp.ndarray:
+    """(N, 3) non-negative int voxel coords -> (N,) uint32 keys."""
+    g = grid.astype(jnp.uint32)
+    return (
+        (g[..., 0] << (Y_BITS + Z_BITS)) | (g[..., 1] << Z_BITS) | g[..., 2]
+    )
+
+
+_INVALID_KEY = jnp.uint32(0xFFFFFFFF)
+
+
+def build_table(grid: jnp.ndarray, mask: jnp.ndarray
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sorted key table: (keys_sorted (N,), row_of_key (N,)).
+
+    Invalid slots get the max key so they sort last and never match a
+    query (valid keys cannot reach 0xFFFFFFFF given the bit budget).
+    """
+    keys = jnp.where(mask, pack_grid(grid), _INVALID_KEY)
+    order = jnp.argsort(keys)
+    return keys[order], order.astype(jnp.int32)
+
+
+def lookup(table_keys: jnp.ndarray, table_rows: jnp.ndarray,
+           query_keys: jnp.ndarray) -> jnp.ndarray:
+    """Binary-search each query key; returns row index or -1."""
+    pos = jnp.searchsorted(table_keys, query_keys)
+    pos = jnp.clip(pos, 0, table_keys.shape[0] - 1)
+    hit = table_keys[pos] == query_keys
+    return jnp.where(hit, table_rows[pos], -1).astype(jnp.int32)
+
+
+def kernel_offsets(kernel_size: int = 3) -> jnp.ndarray:
+    """(K^3, 3) int32 offsets, centered (e.g. -1..1 for k=3)."""
+    r = range(-(kernel_size // 2), kernel_size // 2 + 1)
+    return jnp.asarray(list(itertools.product(r, r, r)), jnp.int32)
+
+
+def neighbor_table(grid: jnp.ndarray, mask: jnp.ndarray,
+                   offsets: jnp.ndarray) -> jnp.ndarray:
+    """(N, K) neighbor row per kernel offset, -1 where absent.
+
+    The submanifold-conv rulebook: out[i] = Σ_k W_k · feat[nbr[i, k]].
+    """
+    keys, rows = build_table(grid, mask)
+    n, k = grid.shape[0], offsets.shape[0]
+    q_grid = grid[:, None, :] + offsets[None, :, :]          # (N, K, 3)
+    in_bounds = jnp.all(q_grid >= 0, axis=-1)
+    q_keys = pack_grid(jnp.maximum(q_grid, 0)).reshape(-1)
+    nbr = lookup(keys, rows, q_keys).reshape(n, k)
+    valid = mask[:, None] & in_bounds
+    return jnp.where(valid, nbr, -1)
+
+
+def unique_parents(grid: jnp.ndarray, mask: jnp.ndarray, stride: int
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Dedup ``grid // stride`` at fixed capacity N.
+
+    Returns (parent_grid (N, 3), parent_mask (N,), child_to_parent (N,)):
+    the first ``P`` slots hold the P unique parent voxels (sorted by key),
+    and each valid child maps to its parent slot (-1 for padding).
+    """
+    n = grid.shape[0]
+    p_grid_all = grid // stride
+    keys = jnp.where(mask, pack_grid(p_grid_all), _INVALID_KEY)
+    sorted_keys = jnp.sort(keys)
+    is_first = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_keys[1:] != sorted_keys[:-1]]
+    ) & (sorted_keys != _INVALID_KEY)
+    # compact unique keys to the front: a stable sort on (!is_first) moves
+    # every first-occurrence slot forward while preserving key order, so
+    # the prefix stays ascending and searchsorted below remains valid
+    order = jnp.argsort(jnp.where(is_first, 0, 1), stable=True)
+    parent_keys = jnp.where(
+        jnp.arange(n) < jnp.sum(is_first), sorted_keys[order], _INVALID_KEY
+    )
+    parent_mask = parent_keys != _INVALID_KEY
+    # parents unpack from keys
+    pk = parent_keys.astype(jnp.uint32)
+    parent_grid = jnp.stack(
+        [
+            (pk >> (Y_BITS + Z_BITS)) & ((1 << X_BITS) - 1),
+            (pk >> Z_BITS) & ((1 << Y_BITS) - 1),
+            pk & ((1 << Z_BITS) - 1),
+        ],
+        axis=-1,
+    ).astype(jnp.int32)
+    parent_grid = jnp.where(parent_mask[:, None], parent_grid, 0)
+    # child -> parent slot via binary search over parent_keys
+    child_keys = jnp.where(mask, pack_grid(p_grid_all), _INVALID_KEY)
+    pos = jnp.searchsorted(parent_keys, child_keys)
+    pos = jnp.clip(pos, 0, n - 1)
+    hit = (parent_keys[pos] == child_keys) & mask
+    child_to_parent = jnp.where(hit, pos, -1).astype(jnp.int32)
+    return parent_grid, parent_mask, child_to_parent
+
+
+def gather_conv(feat: jnp.ndarray, nbr: jnp.ndarray, weights: jnp.ndarray,
+                ) -> jnp.ndarray:
+    """Gather-GEMM submanifold conv: out[i] = Σ_k feat[nbr[i,k]] @ W[k].
+
+    feat (N, Cin), nbr (N, K) with -1 sentinels, weights (K, Cin, Cout).
+    Accumulated with a scan over kernel offsets so peak memory stays
+    O(N·C) instead of O(N·K·C) (K=125 for the stem's 5³ kernel); each
+    step is one MXU GEMM.
+    """
+    n = feat.shape[0]
+    c_out = weights.shape[-1]
+
+    def body(acc, inp):
+        nbr_k, w_k = inp                                   # (N,), (Cin, Cout)
+        g = feat[jnp.maximum(nbr_k, 0)]
+        g = jnp.where((nbr_k >= 0)[:, None], g, 0.0)
+        acc = acc + jnp.dot(
+            g, w_k.astype(feat.dtype), preferred_element_type=jnp.float32
+        ).astype(acc.dtype)
+        return acc, None
+
+    acc0 = jnp.zeros((n, c_out), jnp.float32)
+    acc, _ = jax.lax.scan(body, acc0, (nbr.T, weights))
+    return acc.astype(feat.dtype)
+
+
+def scatter_mean_to_parent(feat: jnp.ndarray, child_to_parent: jnp.ndarray,
+                           num_parents: int) -> jnp.ndarray:
+    """Mean-pool child features onto parent slots (max-capacity dense)."""
+    valid = child_to_parent >= 0
+    idx = jnp.maximum(child_to_parent, 0)
+    w = valid.astype(feat.dtype)
+    summed = jnp.zeros((num_parents, feat.shape[-1]), feat.dtype).at[idx].add(
+        feat * w[:, None]
+    )
+    counts = jnp.zeros((num_parents,), feat.dtype).at[idx].add(w)
+    return summed / jnp.maximum(counts[:, None], 1.0)

@@ -1,0 +1,168 @@
+"""SpUNet + voxel-op tests: hash maps vs brute force, model contracts."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from conftest import jit_apply, jit_init
+from pointcloudpdf_tpu.models import build_model
+from pointcloudpdf_tpu.ops.voxel import (
+    build_table,
+    gather_conv,
+    kernel_offsets,
+    lookup,
+    neighbor_table,
+    unique_parents,
+)
+
+
+def random_voxels(rng, n_valid, n_pad, extent=16):
+    """Unique random voxel coords padded to n_pad."""
+    seen = set()
+    while len(seen) < n_valid:
+        seen.add(tuple(rng.randint(0, extent, 3)))
+    grid = np.zeros((n_pad, 3), np.int32)
+    grid[:n_valid] = np.array(sorted(seen), np.int32)
+    mask = np.zeros(n_pad, bool)
+    mask[:n_valid] = True
+    return jnp.asarray(grid), jnp.asarray(mask)
+
+
+class TestVoxelOps:
+    def test_lookup_roundtrip(self, rng):
+        grid, mask = random_voxels(rng, 50, 64)
+        keys, rows = build_table(grid, mask)
+        from pointcloudpdf_tpu.ops.voxel import pack_grid
+
+        q = pack_grid(grid[:50])
+        found = lookup(keys, rows, q)
+        np.testing.assert_array_equal(np.asarray(found), np.arange(50))
+        # a key that does not exist misses
+        missing = pack_grid(jnp.asarray([[1000, 1000, 500]], jnp.int32))
+        assert int(lookup(keys, rows, missing)[0]) == -1
+
+    def test_neighbor_table_matches_bruteforce(self, rng):
+        grid, mask = random_voxels(rng, 40, 64, extent=6)
+        offsets = kernel_offsets(3)
+        nbr = np.asarray(neighbor_table(grid, mask, offsets))
+        g = np.asarray(grid)
+        for i in range(40):
+            for k, off in enumerate(np.asarray(offsets)):
+                target = g[i] + off
+                expect = -1
+                for j in range(40):
+                    if np.all(g[j] == target):
+                        expect = j
+                        break
+                assert nbr[i, k] == expect, (i, k, target)
+        assert (nbr[40:] == -1).all()
+
+    def test_unique_parents(self, rng):
+        grid, mask = random_voxels(rng, 40, 64, extent=8)
+        p_grid, p_mask, c2p = unique_parents(grid, mask, 2)
+        p_grid, p_mask, c2p = map(np.asarray, (p_grid, p_mask, c2p))
+        g = np.asarray(grid)
+        expect_parents = sorted({tuple(v // 2) for v in g[:40]})
+        n_p = int(p_mask.sum())
+        assert n_p == len(expect_parents)
+        got = [tuple(p_grid[i]) for i in range(n_p)]
+        assert sorted(got) == expect_parents
+        for i in range(40):
+            assert tuple(p_grid[c2p[i]]) == tuple(g[i] // 2)
+        assert (c2p[40:] == -1).all()
+
+    def test_gather_conv_matches_dense(self, rng):
+        grid, mask = random_voxels(rng, 30, 32, extent=5)
+        offsets = kernel_offsets(3)
+        nbr = neighbor_table(grid, mask, offsets)
+        feat = jnp.asarray(rng.randn(32, 4).astype(np.float32))
+        feat = jnp.where(mask[:, None], feat, 0.0)
+        w = jnp.asarray(rng.randn(27, 4, 8).astype(np.float32))
+        # full-precision matmuls so the comparison isolates indexing bugs
+        with jax.default_matmul_precision("highest"):
+            out = np.asarray(jax.jit(gather_conv)(feat, nbr, w))
+        nbr_np, feat_np, w_np = map(np.asarray, (nbr, feat, w))
+        for i in range(30):
+            expect = np.zeros(8, np.float32)
+            for k in range(27):
+                j = nbr_np[i, k]
+                if j >= 0:
+                    expect += feat_np[j] @ w_np[k]
+            np.testing.assert_allclose(out[i], expect, rtol=1e-4, atol=1e-4)
+
+
+class TestSpUNet:
+    def make_batch(self, rng, B=2, N=128, C=4, num_classes=5):
+        coord = rng.rand(B, N, 3).astype(np.float32)
+        grid = (coord / 0.08).astype(np.int32)
+        feat = rng.rand(B, N, C).astype(np.float32)
+        mask = np.zeros((B, N), bool)
+        counts = [N, N * 3 // 4]
+        seg = np.full((B, N), -1, np.int64)
+        for i, c in enumerate(counts):
+            mask[i, :c] = True
+            seg[i, :c] = rng.randint(0, num_classes, c)
+        return dict(
+            grid_coord=jnp.asarray(grid),
+            coord=jnp.asarray(coord),
+            feat=jnp.asarray(feat),
+            mask=jnp.asarray(mask),
+            segment=jnp.asarray(seg),
+        )
+
+    @pytest.fixture(scope="class")
+    def small_cfg(self):
+        return dict(
+            type="SpUNet-v1m1",
+            in_channels=4,
+            num_classes=5,
+            base_channels=8,
+            channels=(8, 16, 16, 8),
+            layers=(1, 1, 1, 1),
+        )
+
+    def test_seg_forward(self, rng, small_cfg):
+        model = build_model(dict(small_cfg))
+        batch = self.make_batch(rng)
+        variables = jit_init(model, {"params": jax.random.PRNGKey(0)}, batch,
+                             train=False)
+        out = jit_apply(model, variables, batch, train=False)
+        assert out.shape == (2, 128, 5)
+        assert np.isfinite(np.asarray(out)).all()
+        # padded rows are zeroed
+        assert np.allclose(np.asarray(out)[1, 96:], 0.0)
+
+    def test_cls_forward(self, rng, small_cfg):
+        cfg = dict(small_cfg, cls_mode=True, num_classes=7)
+        model = build_model(cfg)
+        batch = self.make_batch(rng)
+        variables = jit_init(model, {"params": jax.random.PRNGKey(0)}, batch,
+                             train=False)
+        out = jit_apply(model, variables, batch, train=False)
+        assert out.shape == (2, 7)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_grad_flows(self, rng, small_cfg):
+        model = build_model(dict(small_cfg))
+        batch = self.make_batch(rng)
+        variables = jit_init(model, {"params": jax.random.PRNGKey(0)}, batch,
+                             train=True)
+
+        @jax.jit
+        def loss_fn(params):
+            out, _ = model.apply(
+                {"params": params,
+                 "batch_stats": variables.get("batch_stats", {})},
+                batch, train=True, mutable=["batch_stats"],
+            )
+            logits = out
+            m = batch["mask"][..., None]
+            return jnp.sum(jnp.where(m, logits, 0.0) ** 2)
+
+        grads = jax.jit(jax.grad(loss_fn))(variables["params"])
+        leaves = jax.tree_util.tree_leaves(grads)
+        assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+        total = sum(float(jnp.sum(jnp.abs(g))) for g in leaves)
+        assert total > 0
