@@ -4,4 +4,7 @@ from .norm import MaskedBatchNorm
 from .default import DefaultSegmentor, DefaultSegmentorV2, DefaultClassifier
 from . import point_transformer  # registers PT-v1 seg/cls variants
 from . import sparse_unet        # registers SpUNet-v1m1/v1m2
+from . import point_transformer_v3  # registers PT-v3m1
+from . import point_transformer_v2  # registers PT-v2m1/v2m2
+from . import stratified_transformer  # registers ST-v1m1
 from .utils.structure import Points

@@ -1,0 +1,329 @@
+"""Point Transformer V2 (m2): grouped vector attention + grid pooling.
+
+TPU-native re-design of the reference PT-v2
+(pointcept/models/point_transformer_v2/point_transformer_v2m2_base.py):
+the pointops kNN/grouping CUDA calls become batched masked jnp ops over
+padded (B, N) buffers, torch_geometric's voxel_grid partition pooling
+becomes :func:`...ops.voxel.unique_parents` over per-stage voxel grids,
+and the map-unpooling reads the child→parent cluster map backwards.
+Grouped vector attention is fully dense masked einsum work that XLA
+tiles onto MXU/VPU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...ops.geometry import grouping, knn
+from ...ops.voxel import unique_parents
+from ..builder import MODELS
+from ..norm import MaskedBatchNorm
+from ..utils.structure import masked_softmax
+
+_trunc02 = nn.initializers.truncated_normal(stddev=0.02)
+
+
+class GroupedVectorAttention(nn.Module):
+    """Reference GVA (:48-130) over padded batches with neighbor masks."""
+
+    embed_channels: int
+    groups: int
+    qkv_bias: bool = True
+    pe_multiplier: bool = False
+    pe_bias: bool = True
+
+    @nn.compact
+    def __call__(self, feat, coord, ref_idx, ref_mask, mask, train: bool):
+        c = self.embed_channels
+        g = self.groups
+        bn = MaskedBatchNorm
+
+        def mlp2(x, m, width, name):
+            y = nn.Dense(width, name=f"{name}_fc1")(x)
+            y = bn(width, name=f"{name}_bn")(y, m, train)
+            y = nn.relu(y)
+            return y
+
+        q = mlp2(nn.Dense(c, use_bias=self.qkv_bias, name="linear_q")(feat),
+                 mask, c, "q")
+        k = mlp2(nn.Dense(c, use_bias=self.qkv_bias, name="linear_k")(feat),
+                 mask, c, "k")
+        v = nn.Dense(c, use_bias=self.qkv_bias, name="linear_v")(feat)
+
+        k_g = jax.vmap(
+            lambda f, i, co: grouping(f, i, co, co, with_coord=True)
+        )(k, ref_idx, coord)                          # (B, N, S, 3+C)
+        v_g = jax.vmap(grouping)(v, ref_idx)          # (B, N, S, C)
+        pos, k_g = k_g[..., :3], k_g[..., 3:]
+        rel = k_g - q[:, :, None, :]
+        nmask = ref_mask & mask[..., None]
+
+        if self.pe_multiplier:
+            pem = nn.Dense(c, name="pem_fc1")(pos)
+            pem = bn(c, name="pem_bn")(pem, nmask, train)
+            pem = nn.relu(pem)
+            pem = nn.Dense(c, name="pem_fc2")(pem)
+            rel = rel * pem
+        if self.pe_bias:
+            peb = nn.Dense(c, name="peb_fc1")(pos)
+            peb = bn(c, name="peb_bn")(peb, nmask, train)
+            peb = nn.relu(peb)
+            peb = nn.Dense(c, name="peb_fc2")(peb)
+            rel = rel + peb
+            v_g = v_g + peb
+
+        w = nn.Dense(g, name="we_fc1")(rel)
+        w = bn(g, name="we_bn")(w, nmask, train)
+        w = nn.relu(w)
+        w = nn.Dense(g, name="we_fc2")(w)             # (B, N, S, G)
+        w = masked_softmax(w, nmask[..., None], axis=2)
+
+        v_g = v_g.reshape(v_g.shape[:3] + (g, c // g))
+        out = jnp.einsum("bnsgi,bnsg->bngi", v_g, w.astype(v_g.dtype))
+        out = out.reshape(feat.shape[:2] + (c,))
+        return jnp.where(mask[..., None], out, 0.0)
+
+
+class Block(nn.Module):
+    """Residual GVA block (reference :132-178)."""
+
+    embed_channels: int
+    groups: int
+    qkv_bias: bool = True
+    pe_multiplier: bool = False
+    pe_bias: bool = True
+    drop_path: float = 0.0
+
+    @nn.compact
+    def __call__(self, feat, coord, ref_idx, ref_mask, mask, train: bool):
+        c = self.embed_channels
+        identity = feat
+        y = nn.Dense(c, use_bias=False, name="fc1")(feat)
+        y = MaskedBatchNorm(c, name="norm1")(y, mask, train)
+        y = nn.relu(y)
+        y = GroupedVectorAttention(
+            c, self.groups, self.qkv_bias, self.pe_multiplier, self.pe_bias,
+            name="attn",
+        )(y, coord, ref_idx, ref_mask, mask, train)
+        y = MaskedBatchNorm(c, name="norm2")(y, mask, train)
+        y = nn.relu(y)
+        y = nn.Dense(c, use_bias=False, name="fc3")(y)
+        y = MaskedBatchNorm(c, name="norm3")(y, mask, train)
+        if self.drop_path > 0:
+            keep = 1.0 - self.drop_path
+            if train:
+                rng = self.make_rng("dropout")
+                dp = jax.random.bernoulli(
+                    rng, keep, (feat.shape[0], 1, 1)
+                ).astype(y.dtype)
+                y = y * dp / keep
+        y = nn.relu(identity + y)
+        return jnp.where(mask[..., None], y, 0.0)
+
+
+class BlockSequence(nn.Module):
+    """kNN reference index + depth x Block (reference :180-227)."""
+
+    depth: int
+    embed_channels: int
+    groups: int
+    neighbours: int = 16
+    qkv_bias: bool = True
+    pe_multiplier: bool = False
+    pe_bias: bool = True
+    drop_path: float = 0.0
+
+    @nn.compact
+    def __call__(self, feat, coord, mask, train: bool):
+        idx, dist2 = jax.vmap(
+            lambda c, m: knn(c, c, self.neighbours, ref_mask=m)
+        )(coord, mask)
+        ref_mask = jnp.isfinite(dist2)
+        for i in range(self.depth):
+            feat = Block(
+                self.embed_channels, self.groups, self.qkv_bias,
+                self.pe_multiplier, self.pe_bias, self.drop_path,
+                name=f"block{i}",
+            )(feat, coord, idx, ref_mask, mask, train)
+        return feat
+
+
+class GridPool(nn.Module):
+    """Voxel-partition pooling (reference :229-269): fc+bn+relu then
+    per-voxel max, coords mean; returns the child->parent cluster map."""
+
+    in_channels: int
+    out_channels: int
+    grid_size: float
+
+    @nn.compact
+    def __call__(self, feat, coord, mask, train: bool):
+        b, n = mask.shape
+        y = nn.Dense(self.out_channels, use_bias=False, name="fc")(feat)
+        y = MaskedBatchNorm(self.out_channels, name="norm")(y, mask, train)
+        y = nn.relu(y)
+
+        start = jnp.min(
+            jnp.where(mask[..., None], coord, jnp.inf), axis=1, keepdims=True
+        )
+        grid = jnp.floor((coord - start) / self.grid_size).astype(jnp.int32)
+        grid = jnp.maximum(grid, 0)
+        _, p_mask, c2p = jax.vmap(
+            lambda g, m: unique_parents(g, m, 1)
+        )(grid, mask)
+
+        valid = (c2p >= 0)
+        idx = jnp.maximum(c2p, 0)
+        neg = jnp.float32(-jnp.inf)
+        pooled = jax.vmap(
+            lambda yy, ii, vv: jnp.full(
+                (n, self.out_channels), neg, jnp.float32
+            ).at[ii].max(jnp.where(vv[:, None], yy.astype(jnp.float32), neg))
+        )(y, idx, valid)
+        pooled = jnp.where(jnp.isfinite(pooled), pooled, 0.0).astype(y.dtype)
+
+        w = valid.astype(jnp.float32)
+        coord_sum = jax.vmap(
+            lambda cc, ii, ww: jnp.zeros((n, 3), jnp.float32).at[ii].add(
+                cc * ww[:, None]
+            )
+        )(coord, idx, w)
+        counts = jax.vmap(
+            lambda ii, ww: jnp.zeros((n,), jnp.float32).at[ii].add(ww)
+        )(idx, w)
+        p_coord = coord_sum / jnp.maximum(counts[..., None], 1.0)
+        return pooled, p_coord, p_mask, c2p
+
+
+class UnpoolWithSkip(nn.Module):
+    """Map-based unpooling + skip projection (reference :272-316)."""
+
+    in_channels: int
+    skip_channels: int
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, feat, mask, skip_feat, skip_mask, c2p, train: bool):
+        y = nn.Dense(self.out_channels, name="proj_fc")(feat)
+        y = MaskedBatchNorm(self.out_channels, name="proj_bn")(y, mask, train)
+        y = nn.relu(y)
+        up = jax.vmap(lambda f, i: f[jnp.maximum(i, 0)])(y, c2p)
+        up = jnp.where((c2p >= 0)[..., None], up, 0.0)
+        sk = nn.Dense(self.out_channels, name="skip_fc")(skip_feat)
+        sk = MaskedBatchNorm(self.out_channels, name="skip_bn")(
+            sk, skip_mask, train
+        )
+        sk = nn.relu(sk)
+        out = up + sk
+        return jnp.where(skip_mask[..., None], out, 0.0)
+
+
+@MODELS.register_module("PT-v2m2")
+class PointTransformerV2(nn.Module):
+    in_channels: int
+    num_classes: int
+    patch_embed_depth: int = 1
+    patch_embed_channels: int = 48
+    patch_embed_groups: int = 6
+    patch_embed_neighbours: int = 8
+    enc_depths: Sequence[int] = (2, 2, 6, 2)
+    enc_channels: Sequence[int] = (96, 192, 384, 512)
+    enc_groups: Sequence[int] = (12, 24, 48, 64)
+    enc_neighbours: Sequence[int] = (16, 16, 16, 16)
+    dec_depths: Sequence[int] = (1, 1, 1, 1)
+    dec_channels: Sequence[int] = (48, 96, 192, 384)
+    dec_groups: Sequence[int] = (6, 12, 24, 48)
+    dec_neighbours: Sequence[int] = (16, 16, 16, 16)
+    grid_sizes: Sequence[float] = (0.06, 0.12, 0.24, 0.48)
+    attn_qkv_bias: bool = True
+    pe_multiplier: bool = False
+    pe_bias: bool = True
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.0
+    enable_checkpoint: bool = False
+    unpool_backend: str = "map"
+
+    @nn.compact
+    def __call__(self, input_dict: Dict, train: bool = True):
+        coord = input_dict["coord"].astype(jnp.float32)
+        feat = input_dict["feat"]
+        mask = input_dict["mask"]
+        num_stages = len(self.enc_depths)
+
+        # patch embedding
+        y = nn.Dense(self.patch_embed_channels, use_bias=False,
+                     name="patch_proj")(feat)
+        y = MaskedBatchNorm(self.patch_embed_channels, name="patch_bn")(
+            y, mask, train
+        )
+        y = nn.relu(y)
+        y = BlockSequence(
+            self.patch_embed_depth, self.patch_embed_channels,
+            self.patch_embed_groups, self.patch_embed_neighbours,
+            self.attn_qkv_bias, self.pe_multiplier, self.pe_bias,
+            name="patch_blocks",
+        )(y, coord, mask, train)
+
+        total_blocks = sum(self.enc_depths) + sum(self.dec_depths)
+        dp_rates = [
+            self.drop_path_rate * i / max(total_blocks - 1, 1)
+            for i in range(total_blocks)
+        ]
+
+        skips = [(y, coord, mask)]
+        pools = []
+        in_ch = self.patch_embed_channels
+        for s in range(num_stages):
+            y, p_coord, p_mask, c2p = GridPool(
+                in_ch, self.enc_channels[s], self.grid_sizes[s],
+                name=f"enc{s}_pool",
+            )(skips[-1][0], skips[-1][1], skips[-1][2], train)
+            dp = dp_rates[sum(self.enc_depths[:s])]
+            y = BlockSequence(
+                self.enc_depths[s], self.enc_channels[s], self.enc_groups[s],
+                self.enc_neighbours[s], self.attn_qkv_bias,
+                self.pe_multiplier, self.pe_bias, dp,
+                name=f"enc{s}_blocks",
+            )(y, p_coord, p_mask, train)
+            pools.append(c2p)
+            skips.append((y, p_coord, p_mask))
+            in_ch = self.enc_channels[s]
+
+        y, cur_coord, cur_mask = skips.pop()
+        for s in reversed(range(num_stages)):
+            skip_feat, skip_coord, skip_mask = skips.pop()
+            y = UnpoolWithSkip(
+                y.shape[-1], skip_feat.shape[-1], self.dec_channels[s],
+                name=f"dec{s}_unpool",
+            )(y, cur_mask, skip_feat, skip_mask, pools[s], train)
+            dp = dp_rates[sum(self.enc_depths) + sum(self.dec_depths[:s])]
+            y = BlockSequence(
+                self.dec_depths[s], self.dec_channels[s], self.dec_groups[s],
+                self.dec_neighbours[s], self.attn_qkv_bias,
+                self.pe_multiplier, self.pe_bias, dp,
+                name=f"dec{s}_blocks",
+            )(y, skip_coord, skip_mask, train)
+            cur_coord, cur_mask = skip_coord, skip_mask
+
+        if self.num_classes > 0:
+            h = nn.Dense(self.dec_channels[0], name="seg_fc1")(y)
+            h = MaskedBatchNorm(self.dec_channels[0], name="seg_bn")(
+                h, cur_mask, train
+            )
+            h = nn.relu(h)
+            logits = nn.Dense(self.num_classes, name="seg_fc2")(h)
+            return jnp.where(cur_mask[..., None], logits, 0.0)
+        return jnp.where(cur_mask[..., None], y, 0.0)
+
+
+@MODELS.register_module("PT-v2m1")
+def point_transformer_v2m1(**kwargs):
+    """v2m1 registered for config parity: same architecture family with
+    pe_multiplier enabled by default (reference point_transformer_v2m1)."""
+    kwargs.setdefault("pe_multiplier", True)
+    return PointTransformerV2(**kwargs)

@@ -1,0 +1,341 @@
+"""Point Transformer V3: serialized patch attention, TPU-native.
+
+Re-design of the reference PT-v3
+(pointcept/models/point_transformer_v3/point_transformer_v3m1_base.py:
+51-717).  PTv3's design — sort points along a space-filling curve, chop
+into fixed-size patches, run dense attention per patch — is already the
+TPU-shaped formulation; this implementation keeps it fully static:
+
+- serialization orders (z / z-trans / hilbert / hilbert-trans) come from
+  :mod:`...ops.serialization`; blocks cycle through the orders;
+- each sample's points sort valid-first by curve code; the padded (B, N)
+  buffer reshapes to (B, N/K, K) patches and attention is masked dense
+  multi-head over K keys (the flash-attn varlen path is unnecessary:
+  XLA fuses the per-patch softmax-matmul chain);
+- xCPE (spconv SubMConv3d in the reference) is the voxel-hash
+  gather-GEMM conv from ops/voxel, one shared neighbor table per stage;
+- grid pooling = ``unique_parents`` on grid//2 with segment max/mean,
+  unpooling reads the child→parent map backwards.
+
+RPE and flash-specific switches are intentionally absent (reference
+defaults run with flash, which ignores RPE); drop_path is stochastic
+depth per sample.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...ops.serialization import serialize_code
+from ...ops.voxel import (
+    flatten_neighbor_rows,
+    flatten_slot_map,
+    kernel_offsets,
+    neighbor_table,
+    unique_parents,
+)
+from ..builder import MODELS
+from ..norm import MaskedBatchNorm
+from ..sparse_unet.spconv_unet import SubMConv
+
+_trunc02 = nn.initializers.truncated_normal(stddev=0.02)
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth on a flat (B*N, C) tensor."""
+
+    rate: float
+    batch: int
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        if self.rate == 0.0 or not train:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        mask = jax.random.bernoulli(rng, keep, (self.batch, 1, 1))
+        y = x.reshape(self.batch, -1, x.shape[-1]) * mask / keep
+        return y.reshape(x.shape).astype(x.dtype)
+
+
+def _sort_orders(grid, mask, orders):
+    """Per-sample, per-order sort permutations (valid first).
+
+    Returns (num_orders, B, N) int32 ``order`` (positions into the
+    unsorted array) and ``inverse`` (where each unsorted point landed).
+    """
+    perms, invs = [], []
+    n = grid.shape[1]
+    for name in orders:
+        code = serialize_code(grid, name)
+        code = jnp.where(mask, code, jnp.uint32(0xFFFFFFFF))
+        perm = jnp.argsort(code, axis=-1).astype(jnp.int32)       # (B, N)
+        inv = jnp.zeros_like(perm)
+        inv = jax.vmap(
+            lambda p: jnp.zeros((n,), jnp.int32).at[p].set(
+                jnp.arange(n, dtype=jnp.int32)
+            )
+        )(perm)
+        perms.append(perm)
+        invs.append(inv)
+    return jnp.stack(perms), jnp.stack(invs)
+
+
+class SerializedAttention(nn.Module):
+    """Masked dense MHA over curve-order patches (reference :51-223)."""
+
+    channels: int
+    num_heads: int
+    patch_size: int
+    qkv_bias: bool = True
+
+    @nn.compact
+    def __call__(self, feat, order, inverse, mask, train: bool):
+        b, n = mask.shape
+        k = self.patch_size
+        h = self.num_heads
+        hd = self.channels // h
+        n_pad = -(-n // k) * k
+
+        qkv = nn.Dense(self.channels * 3, use_bias=self.qkv_bias,
+                       kernel_init=_trunc02, name="qkv")(feat)
+        qkv = qkv.reshape(b, n, 3 * self.channels)
+        qkv_s = jnp.take_along_axis(qkv, order[..., None], axis=1)
+        mask_s = jnp.take_along_axis(mask, order, axis=1)
+        if n_pad != n:
+            qkv_s = jnp.pad(qkv_s, ((0, 0), (0, n_pad - n), (0, 0)))
+            mask_s = jnp.pad(mask_s, ((0, 0), (0, n_pad - n)))
+        p = n_pad // k
+        qkv_s = qkv_s.reshape(b, p, k, 3, h, hd)
+        q, kk, v = jnp.moveaxis(qkv_s, 3, 0)          # (B, P, K, H, hd)
+        patch_mask = mask_s.reshape(b, p, k)
+
+        scale = hd ** -0.5
+        logits = jnp.einsum(
+            "bpkhd,bpmhd->bphkm", q.astype(jnp.float32) * scale,
+            kk.astype(jnp.float32),
+        )
+        neg = jnp.float32(-1e9)
+        logits = jnp.where(patch_mask[:, :, None, None, :], logits, neg)
+        attn = jax.nn.softmax(logits, axis=-1)
+        # fully-masked rows produce uniform attn over masked keys; their
+        # outputs are zeroed below via the point mask
+        out = jnp.einsum("bphkm,bpmhd->bpkhd", attn.astype(v.dtype), v)
+        out = out.reshape(b, n_pad, self.channels)[:, :n]
+        out = jnp.take_along_axis(out, inverse[..., None], axis=1)
+        out = nn.Dense(self.channels, kernel_init=_trunc02, name="proj")(out)
+        return jnp.where(mask[..., None], out, 0.0)
+
+
+class Block(nn.Module):
+    """xCPE + serialized attention + MLP, pre-norm residuals
+    (reference Block :251-339)."""
+
+    channels: int
+    num_heads: int
+    patch_size: int
+    mlp_ratio: float
+    drop_path: float
+    qkv_bias: bool = True
+
+    @nn.compact
+    def __call__(self, feat, nbr, order, inverse, mask, train: bool):
+        b, n = mask.shape
+        flat_mask = mask.reshape(b * n)
+        flat = feat.reshape(b * n, -1)
+
+        # xCPE: SubMConv3d + Linear + LayerNorm, residual
+        y = SubMConv(self.channels, self.channels, nbr.shape[-1],
+                     use_bias=True, name="cpe_conv")(flat, nbr)
+        y = nn.Dense(self.channels, kernel_init=_trunc02, name="cpe_fc")(y)
+        y = nn.LayerNorm(name="cpe_norm")(y)
+        flat = flat + jnp.where(flat_mask[:, None], y, 0.0)
+        feat = flat.reshape(b, n, -1)
+
+        dp = DropPath(self.drop_path, b, name="drop_path")
+
+        shortcut = feat
+        y = nn.LayerNorm(name="norm1")(feat)
+        y = SerializedAttention(
+            self.channels, self.num_heads, self.patch_size,
+            self.qkv_bias, name="attn",
+        )(y, order, inverse, mask, train)
+        feat = shortcut + dp(
+            y.reshape(b * n, -1), train
+        ).reshape(b, n, -1)
+
+        shortcut = feat
+        y = nn.LayerNorm(name="norm2")(feat)
+        y = nn.Dense(int(self.channels * self.mlp_ratio),
+                     kernel_init=_trunc02, name="mlp_fc1")(y)
+        y = nn.gelu(y)
+        y = nn.Dense(self.channels, kernel_init=_trunc02, name="mlp_fc2")(y)
+        feat = shortcut + dp(y.reshape(b * n, -1), train).reshape(b, n, -1)
+        return jnp.where(mask[..., None], feat, 0.0)
+
+
+@MODELS.register_module("PT-v3m1")
+class PointTransformerV3(nn.Module):
+    in_channels: int = 6
+    order: Sequence[str] = ("z", "z-trans", "hilbert", "hilbert-trans")
+    stride: Sequence[int] = (2, 2, 2, 2)
+    enc_depths: Sequence[int] = (2, 2, 2, 6, 2)
+    enc_channels: Sequence[int] = (32, 64, 128, 256, 512)
+    enc_num_head: Sequence[int] = (2, 4, 8, 16, 32)
+    enc_patch_size: Sequence[int] = (48, 48, 48, 48, 48)
+    dec_depths: Sequence[int] = (2, 2, 2, 2)
+    dec_channels: Sequence[int] = (64, 64, 128, 256)
+    dec_num_head: Sequence[int] = (4, 4, 8, 16)
+    dec_patch_size: Sequence[int] = (48, 48, 48, 48)
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop_path: float = 0.3
+    shuffle_orders: bool = True
+    cls_mode: bool = False
+    # accepted for config parity; the dense masked path ignores them
+    enable_rpe: bool = False
+    enable_flash: bool = True
+    upcast_attention: bool = True
+    upcast_softmax: bool = True
+    qk_scale: float = None
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    pre_norm: bool = True
+    pdnorm_bn: bool = False
+    pdnorm_ln: bool = False
+    pdnorm_decouple: bool = True
+    pdnorm_adaptive: bool = False
+    pdnorm_affine: bool = True
+    pdnorm_conditions: Sequence[str] = ()
+
+    @nn.compact
+    def __call__(self, input_dict: Dict, train: bool = True):
+        num_stages = len(self.enc_depths)
+        orders = list(self.order)
+        bn = functools.partial(MaskedBatchNorm, momentum=0.01, epsilon=1e-3)
+        off3 = kernel_offsets(3)
+        off5 = kernel_offsets(5)
+
+        grid = input_dict["grid_coord"].astype(jnp.int32)
+        feat = input_dict["feat"]
+        mask = input_dict["mask"]
+        b, n = mask.shape
+
+        # stem embedding: SubMConv k5 + BN + relu (reference Embedding)
+        nbr5 = flatten_neighbor_rows(
+            jax.vmap(lambda g, m: neighbor_table(g, m, off5))(grid, mask)
+        )
+        flat_mask = mask.reshape(b * n)
+        y = SubMConv(self.in_channels, self.enc_channels[0], off5.shape[0],
+                     name="embedding")(feat.reshape(b * n, -1), nbr5)
+        y = bn(self.enc_channels[0], name="embedding_bn")(y, flat_mask, train)
+        y = nn.relu(y)
+        feat = jnp.where(flat_mask[:, None], y, 0.0).reshape(b, n, -1)
+
+        # per-stage drop-path schedule
+        total = sum(self.enc_depths)
+        enc_dp = [self.drop_path * i / max(total - 1, 1) for i in range(total)]
+
+        skips = []       # (feat, grid, mask) per stage
+        pools = []       # (c2p (B,N), parent level arrays)
+        level = dict(grid=grid, mask=mask)
+        for s in range(num_stages):
+            if s > 0:
+                # serialized (grid) pooling, stride 2
+                p_grid, p_mask, c2p = jax.vmap(
+                    lambda g, m: unique_parents(g, m, 2)
+                )(level["grid"], level["mask"])
+                proj = nn.Dense(self.enc_channels[s], kernel_init=_trunc02,
+                                name=f"pool{s}_proj")(feat)
+                flat_c2p = flatten_slot_map(c2p)
+                flat_proj = proj.reshape(b * n, -1)
+                valid = (flat_c2p >= 0)[:, None]
+                pooled = jnp.full(
+                    (b * n, self.enc_channels[s]), -jnp.inf, jnp.float32
+                ).at[jnp.maximum(flat_c2p, 0)].max(
+                    jnp.where(valid, flat_proj.astype(jnp.float32), -jnp.inf)
+                )
+                pooled = jnp.where(jnp.isfinite(pooled), pooled, 0.0)
+                flat_p_mask = p_mask.reshape(b * n)
+                pooled = bn(self.enc_channels[s], name=f"pool{s}_bn")(
+                    pooled.astype(feat.dtype), flat_p_mask, train
+                )
+                pooled = nn.relu(pooled)
+                pools.append(dict(c2p=c2p, child=dict(level)))
+                level = dict(grid=p_grid, mask=p_mask)
+                feat = jnp.where(
+                    flat_p_mask[:, None], pooled, 0.0
+                ).reshape(b, n, -1)
+
+            g, m = level["grid"], level["mask"]
+            stage_nbr = flatten_neighbor_rows(
+                jax.vmap(lambda gg, mm: neighbor_table(gg, mm, off3))(g, m)
+            )
+            perms, invs = _sort_orders(g, m, orders)
+            base = sum(self.enc_depths[:s])
+            for i in range(self.enc_depths[s]):
+                oi = i % len(orders)
+                feat = Block(
+                    self.enc_channels[s], self.enc_num_head[s],
+                    self.enc_patch_size[s], self.mlp_ratio,
+                    enc_dp[base + i], self.qkv_bias,
+                    name=f"enc{s}_block{i}",
+                )(feat, stage_nbr, perms[oi], invs[oi], m, train)
+            skips.append((feat, dict(level)))
+
+        if not self.cls_mode:
+            dec_channels = list(self.dec_channels) + [self.enc_channels[-1]]
+            total_d = sum(self.dec_depths)
+            dec_dp = [
+                self.drop_path * i / max(total_d - 1, 1) for i in range(total_d)
+            ]
+            feat, level = skips[-1]
+            for s in reversed(range(num_stages - 1)):
+                skip_feat, skip_level = skips[s]
+                c2p = pools[s]["c2p"]
+                # unpooling: proj both sides, parent feat broadcast to children
+                y = nn.Dense(dec_channels[s], kernel_init=_trunc02,
+                             name=f"unpool{s}_proj")(feat)
+                y = bn(dec_channels[s], name=f"unpool{s}_bn")(
+                    y.reshape(b * n, -1), level["mask"].reshape(b * n), train
+                )
+                y = nn.relu(y).reshape(b, n, -1)
+                sk = nn.Dense(dec_channels[s], kernel_init=_trunc02,
+                              name=f"unpool{s}_skip")(skip_feat)
+                sk = bn(dec_channels[s], name=f"unpool{s}_skip_bn")(
+                    sk.reshape(b * n, -1),
+                    skip_level["mask"].reshape(b * n), train,
+                )
+                sk = nn.relu(sk).reshape(b, n, -1)
+                flat_c2p = flatten_slot_map(c2p)
+                up = y.reshape(b * n, -1)[jnp.maximum(flat_c2p, 0)]
+                up = jnp.where((flat_c2p >= 0)[:, None], up, 0.0)
+                feat = sk + up.reshape(b, n, -1)
+                level = skip_level
+                g, m = level["grid"], level["mask"]
+                stage_nbr = flatten_neighbor_rows(
+                    jax.vmap(
+                        lambda gg, mm: neighbor_table(gg, mm, off3)
+                    )(g, m)
+                )
+                perms, invs = _sort_orders(g, m, orders)
+                base = sum(self.dec_depths[:s])
+                for i in range(self.dec_depths[s]):
+                    oi = i % len(orders)
+                    feat = Block(
+                        dec_channels[s], self.dec_num_head[s],
+                        self.dec_patch_size[s], self.mlp_ratio,
+                        dec_dp[base + i], self.qkv_bias,
+                        name=f"dec{s}_block{i}",
+                    )(feat, stage_nbr, perms[oi], invs[oi], m, train)
+            return jnp.where(level["mask"][..., None], feat, 0.0)
+
+        # cls mode: features at the coarsest level; caller pools
+        from ..utils.structure import masked_mean
+
+        return masked_mean(feat, level["mask"], axis=1)

@@ -31,6 +31,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ...ops.voxel import (
+    flatten_neighbor_rows as _flatten_nbr,
+    flatten_slot_map as _flatten_map,
     gather_conv,
     kernel_offsets,
     neighbor_table,
@@ -41,20 +43,6 @@ from ..norm import MaskedBatchNorm
 from ..utils.structure import masked_mean
 
 _trunc02 = nn.initializers.truncated_normal(stddev=0.02)
-
-
-def _flatten_nbr(nbr: jnp.ndarray) -> jnp.ndarray:
-    """(B, N, K) per-sample rows -> (B*N, K) rows into the flat array."""
-    b, n, k = nbr.shape
-    base = (jnp.arange(b, dtype=jnp.int32) * n)[:, None, None]
-    return jnp.where(nbr >= 0, nbr + base, -1).reshape(b * n, k)
-
-
-def _flatten_map(idx: jnp.ndarray) -> jnp.ndarray:
-    """(B, N) per-sample slots -> (B*N,) flat slots (-1 kept)."""
-    b, n = idx.shape
-    base = (jnp.arange(b, dtype=jnp.int32) * n)[:, None]
-    return jnp.where(idx >= 0, idx + base, -1).reshape(b * n)
 
 
 class SubMConv(nn.Module):

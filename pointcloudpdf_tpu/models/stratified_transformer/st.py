@@ -1,0 +1,471 @@
+"""Stratified Transformer, TPU-native.
+
+Re-design of the reference ST-v1m1
+(pointcept/models/stratified_transformer/stratified_transformer_v1m1_origin.py:
+665-860) — the PDF paper's ScanNetv2 headline backbone.
+
+The reference builds *variable-length* attention index-pair lists per
+block (all pairs inside a shifted window, plus "stratified" pairs from
+FPS-downsampled keys inside the enclosing 2x window, get_indice_pairs
+:46-94) and runs them through the pointops2 scatter-attention CUDA family
+(attention_step1_v2 / dot_prod_with_idx_v3 / attention_step2_*).  XLA
+wants static shapes, so the key set is re-expressed per query point with
+fixed capacities:
+
+- ``k_local`` nearest points that share the query's (shifted) small
+  window — identical to window attention whenever a window holds at most
+  ``k_local`` points, nearest-truncated otherwise;
+- ``k_sparse`` nearest FPS-downsampled points that share the 2x window
+  but not the small window (the stratified long-range keys).
+
+Attention is then one dense masked MHA over ``k_local + k_sparse`` keys
+with the reference's contextual relative position encoding (quantized
+rel-pos tables contracted against q/k, added to v — the rpe_v2 kernels
+as einsums).  The KPConv stem keeps kernel-point correlation form with a
+fixed kernel-point disposition.  Shifted windows alternate per block.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ...ops.geometry import ball_query, grouping, interpolation, knn
+from ...ops.sampling import blocked_farthest_point_sampling, downsample_count
+from ...ops.voxel import pack_grid
+from ..builder import MODELS
+from ..norm import MaskedBatchNorm
+from ..utils.structure import masked_softmax
+
+_trunc02 = nn.initializers.truncated_normal(stddev=0.02)
+
+
+def _window_ids(coord, mask, window_size: float, shift: bool):
+    """(B, N) uint32 window id per point (voxel of the window grid)."""
+    big = 1e9
+    cmin = jnp.min(jnp.where(mask[..., None], coord, big), axis=1,
+                   keepdims=True)
+    pos = coord - cmin
+    if shift:
+        pos = pos + window_size / 2
+    g = jnp.clip(jnp.floor(pos / window_size), 0, 2047).astype(jnp.int32)
+    # reuse the voxel key packing; cap z bits the same way
+    return pack_grid(jnp.minimum(g, jnp.array([2047, 2047, 1023])))
+
+
+def kpconv_kernel_points() -> np.ndarray:
+    """15 deterministic kernel points: center + 6 axes + 8 cube corners.
+
+    The reference uses torch_points3d's optimized dispositions; any
+    well-spread fixed disposition preserves KPConv's function class.
+    """
+    axes = np.concatenate([np.eye(3), -np.eye(3)])
+    corners = np.array(
+        [[x, y, z] for x in (-1, 1) for y in (-1, 1) for z in (-1, 1)],
+        np.float32,
+    ) / np.sqrt(3)
+    return np.concatenate([np.zeros((1, 3)), axes, corners]).astype(np.float32)
+
+
+class KPConvBlock(nn.Module):
+    """Kernel-point conv over ball-query neighborhoods
+    (reference KPConvSimpleBlock/KPConvResBlock :581-662)."""
+
+    in_channels: int
+    out_channels: int
+    prev_grid_size: float
+    sigma: float = 1.0
+    residual: bool = False
+    kp_radius: float = 2.5
+    max_neighbor: int = 34
+
+    @nn.compact
+    def __call__(self, feat, coord, mask, train: bool):
+        radius = self.kp_radius * self.prev_grid_size
+        kp = jnp.asarray(kpconv_kernel_points()) * radius  # (P, 3)
+        p = kp.shape[0]
+        mid = self.out_channels // 4 if self.residual else self.out_channels
+
+        x = feat
+        if self.residual:
+            x = nn.Dense(mid, use_bias=False, name="unary1")(x)
+            x = MaskedBatchNorm(mid, momentum=0.02, name="unary1_bn")(
+                x, mask, train
+            )
+            x = nn.relu(x)
+
+        idx, nmask = jax.vmap(
+            lambda c, m: ball_query(c, c, radius, self.max_neighbor, ref_mask=m)
+        )(coord, mask)
+        nmask = nmask & mask[..., None]
+        rel = jax.vmap(lambda c, i: c[i])(coord, idx) - coord[:, :, None, :]
+        # linear correlation to each kernel point (KPConv paper eq. 2)
+        dist = jnp.linalg.norm(
+            rel[:, :, :, None, :] - kp[None, None, None, :, :], axis=-1
+        )
+        infl = jnp.maximum(1.0 - dist / (self.sigma * radius), 0.0)
+        infl = jnp.where(nmask[..., None], infl, 0.0)      # (B, N, S, P)
+        gathered = jax.vmap(lambda f, i: f[i])(x, idx)     # (B, N, S, Cm)
+        per_kp = jnp.einsum("bnsp,bnsc->bnpc", infl, gathered)
+        w = self.param("kp_weight", _trunc02, (p, x.shape[-1], mid))
+        y = jnp.einsum("bnpc,pcd->bnd", per_kp, w)
+
+        if self.residual:
+            y = MaskedBatchNorm(mid, momentum=0.02, name="mid_bn")(
+                y, mask, train
+            )
+            y = nn.relu(y)
+            y = nn.Dense(self.out_channels, use_bias=False, name="unary2")(y)
+            y = MaskedBatchNorm(self.out_channels, momentum=0.02,
+                                name="unary2_bn")(y, mask, train)
+            if self.in_channels != self.out_channels:
+                sc = nn.Dense(self.out_channels, use_bias=False,
+                              name="shortcut")(feat)
+                sc = MaskedBatchNorm(self.out_channels, momentum=0.02,
+                                     name="shortcut_bn")(sc, mask, train)
+            else:
+                sc = feat
+            y = y + sc
+        else:
+            y = MaskedBatchNorm(self.out_channels, momentum=0.02, name="bn")(
+                y, mask, train
+            )
+            y = nn.leaky_relu(y, 0.1)
+        return jnp.where(mask[..., None], y, 0.0)
+
+
+class StratifiedWindowAttention(nn.Module):
+    """Dense masked MHA over the stratified fixed-K key set with cRPE
+    (reference WindowAttention :185-351)."""
+
+    dim: int
+    num_heads: int
+    window_size: float
+    quant_size: float
+    rel_query: bool = True
+    rel_key: bool = True
+    rel_value: bool = True
+    qkv_bias: bool = True
+
+    @nn.compact
+    def __call__(self, feat, coord, key_idx, key_mask, mask, train: bool):
+        b, n, _ = feat.shape
+        h = self.num_heads
+        hd = self.dim // h
+        scale = hd ** -0.5
+        L = int((2 * self.window_size + 1e-4) // self.quant_size)
+
+        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, name="qkv")(feat)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, n, h, hd)
+        k = k.reshape(b, n, h, hd)
+        v = v.reshape(b, n, h, hd)
+
+        k_g = jax.vmap(lambda f, i: f[i])(k, key_idx)       # (B, N, K, H, hd)
+        v_g = jax.vmap(lambda f, i: f[i])(v, key_idx)
+        pos_g = jax.vmap(lambda c, i: c[i])(coord, key_idx)  # (B, N, K, 3)
+
+        logits = jnp.einsum(
+            "bnhd,bnkhd->bnkh", q.astype(jnp.float32) * scale,
+            k_g.astype(jnp.float32),
+        )
+
+        # quantized relative-position bins per axis (reference :283-296)
+        rel = coord[:, :, None, :] - pos_g                  # (B, N, K, 3)
+        bins = jnp.floor(
+            (rel + 2 * self.window_size - 1e-4) / self.quant_size
+        ).astype(jnp.int32)
+        bins = jnp.clip(bins, 0, 2 * L - 1)                 # (B, N, K, 3)
+
+        if self.rel_query:
+            tq = self.param("rel_query_table", _trunc02, (2 * L, h, hd, 3))
+            # bias = sum_axis q . t_q[bin_axis]
+            tq_g = tq[bins]                                 # (B,N,K,3,H,hd,3)?
+            # index per axis: gather each axis's table column
+            bias_q = sum(
+                jnp.einsum("bnhd,bnkhd->bnkh", q, tq[bins[..., a], :, :, a])
+                for a in range(3)
+            )
+            logits = logits + bias_q.astype(jnp.float32)
+        if self.rel_key:
+            tk = self.param("rel_key_table", _trunc02, (2 * L, h, hd, 3))
+            bias_k = sum(
+                jnp.einsum("bnkhd,bnkhd->bnkh", k_g,
+                           tk[bins[..., a], :, :, a])
+                for a in range(3)
+            )
+            logits = logits + bias_k.astype(jnp.float32)
+
+        att_mask = key_mask & mask[..., None]
+        attn = masked_softmax(
+            logits, att_mask[..., None], axis=2
+        )                                                   # (B, N, K, H)
+
+        if self.rel_value:
+            tv = self.param("rel_value_table", _trunc02, (2 * L, h, hd, 3))
+            v_g = v_g + sum(
+                tv[bins[..., a], :, :, a] for a in range(3)
+            ).astype(v_g.dtype)
+
+        out = jnp.einsum("bnkh,bnkhd->bnhd", attn.astype(v_g.dtype), v_g)
+        out = out.reshape(b, n, self.dim)
+        out = nn.Dense(self.dim, name="proj")(out)
+        return jnp.where(mask[..., None], out, 0.0)
+
+
+class STBlock(nn.Module):
+    """Pre-norm attention + MLP block (reference SwinTransformerBlock)."""
+
+    dim: int
+    num_heads: int
+    window_size: float
+    quant_size: float
+    rel_query: bool
+    rel_key: bool
+    rel_value: bool
+    drop_path: float
+    mlp_ratio: float = 4.0
+
+    @nn.compact
+    def __call__(self, feat, coord, key_idx, key_mask, mask, train: bool):
+        b = feat.shape[0]
+
+        def dpath(x):
+            if self.drop_path == 0.0 or not train:
+                return x
+            keep = 1.0 - self.drop_path
+            rng = self.make_rng("dropout")
+            m = jax.random.bernoulli(rng, keep, (b, 1, 1)).astype(x.dtype)
+            return x * m / keep
+
+        shortcut = feat
+        y = nn.LayerNorm(name="norm1")(feat)
+        y = StratifiedWindowAttention(
+            self.dim, self.num_heads, self.window_size, self.quant_size,
+            self.rel_query, self.rel_key, self.rel_value, name="attn",
+        )(y, coord, key_idx, key_mask, mask, train)
+        feat = shortcut + dpath(y)
+        y = nn.LayerNorm(name="norm2")(feat)
+        y = nn.Dense(int(self.dim * self.mlp_ratio), name="mlp_fc1")(y)
+        y = nn.gelu(y)
+        y = nn.Dense(self.dim, name="mlp_fc2")(y)
+        feat = feat + dpath(y)
+        return jnp.where(mask[..., None], feat, 0.0)
+
+
+class TransitionDown(nn.Module):
+    """FPS(ratio) + kNN grouping + LN/linear + max-pool
+    (reference :151-183)."""
+
+    in_channels: int
+    out_channels: int
+    ratio: float
+    k: int
+
+    @nn.compact
+    def __call__(self, feat, coord, mask, train: bool):
+        n = coord.shape[1]
+        m = max(int(n * self.ratio), 1)
+        idx, valid = jax.vmap(
+            lambda c, mk: blocked_farthest_point_sampling(c, m, mask=mk)
+        )(coord, mask)
+        new_coord = jnp.take_along_axis(coord, idx[..., None], axis=1)
+        nidx, nd2 = jax.vmap(
+            lambda q, r, mk: knn(q, r, self.k, ref_mask=mk)
+        )(new_coord, coord, mask)
+        nmask = jnp.isfinite(nd2) & valid[..., None]
+        grouped = jax.vmap(lambda f, i: f[i])(feat, nidx)   # (B, M, K, C)
+        y = nn.LayerNorm(name="norm")(grouped)
+        y = nn.Dense(self.out_channels, use_bias=False, name="linear")(y)
+        y = jnp.where(nmask[..., None], y, -1e9)
+        y = jnp.max(y, axis=2)
+        y = jnp.where(valid[..., None], y, 0.0)
+        return y, new_coord, valid
+
+
+class Upsample(nn.Module):
+    """3-NN interpolation decode step (reference Upsample :558-580)."""
+
+    k: int
+    in_channels: int
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, feat, coord, mask, skip_feat, skip_coord, skip_mask,
+                 train: bool):
+        y = nn.LayerNorm(name="norm2")(feat)
+        y = nn.Dense(self.out_channels, name="linear2")(y)
+        up = jax.vmap(
+            lambda sc, dc, sf, sm, dm: interpolation(
+                sc, dc, sf, k=self.k, src_mask=sm, dst_mask=dm
+            )
+        )(coord, skip_coord, y, mask, skip_mask)
+        sk = nn.LayerNorm(name="norm1")(skip_feat)
+        sk = nn.Dense(self.out_channels, name="linear1")(sk)
+        out = sk + up
+        return jnp.where(skip_mask[..., None], out, 0.0)
+
+
+@MODELS.register_module("ST-v1m1")
+class StratifiedTransformer(nn.Module):
+    downsample_scale: int
+    depths: Sequence[int]
+    channels: Sequence[int]
+    num_heads: Sequence[int]
+    window_size: Sequence[float]
+    up_k: int
+    grid_sizes: Sequence[float]
+    quant_sizes: Sequence[float]
+    rel_query: bool = True
+    rel_key: bool = False
+    rel_value: bool = False
+    drop_path_rate: float = 0.2
+    num_layers: int = 4
+    concat_xyz: bool = False
+    num_classes: int = 13
+    ratio: float = 0.25
+    k: int = 16
+    prev_grid_size: float = 0.04
+    sigma: float = 1.0
+    stem_transformer: bool = False
+    kp_ball_radius: float = 0.02 * 2.5
+    kp_max_neighbor: int = 34
+    # TPU-native capacities for the stratified key set
+    k_local: int = 32
+    k_sparse: int = 16
+
+    def _key_sets(self, coord, mask, window_size: float, shift: bool,
+                  ds_idx, ds_valid):
+        """Fixed-K stratified keys: same-small-window kNN + downsampled
+        same-big-window kNN (different small window)."""
+        win = _window_ids(coord, mask, window_size, shift)
+        big = _window_ids(coord, mask, 2 * window_size, shift)
+
+        idx_l, d_l = jax.vmap(
+            lambda c, m: knn(c, c, self.k_local, ref_mask=m)
+        )(coord, mask)
+        win_l = jnp.take_along_axis(win, idx_l.reshape(win.shape[0], -1),
+                                    axis=1).reshape(idx_l.shape)
+        m_l = jnp.isfinite(d_l) & (win_l == win[..., None])
+
+        ds_coord = jnp.take_along_axis(coord, ds_idx[..., None], axis=1)
+        idx_s, d_s = jax.vmap(
+            lambda q, r, m: knn(q, r, self.k_sparse, ref_mask=m)
+        )(coord, ds_coord, ds_valid)
+        # map downsample-set positions back to original rows
+        orig_s = jnp.take_along_axis(
+            ds_idx, idx_s.reshape(ds_idx.shape[0], -1), axis=1
+        ).reshape(idx_s.shape)
+        win_s = jnp.take_along_axis(
+            win, orig_s.reshape(win.shape[0], -1), axis=1
+        ).reshape(orig_s.shape)
+        big_s = jnp.take_along_axis(
+            big, orig_s.reshape(big.shape[0], -1), axis=1
+        ).reshape(orig_s.shape)
+        m_s = (
+            jnp.isfinite(d_s)
+            & (big_s == big[..., None])
+            & (win_s != win[..., None])
+        )
+        key_idx = jnp.concatenate([idx_l, orig_s], axis=-1)
+        key_mask = jnp.concatenate([m_l, m_s], axis=-1)
+        return key_idx, key_mask
+
+    @nn.compact
+    def __call__(self, input_dict: Dict, train: bool = True):
+        coord = input_dict["coord"].astype(jnp.float32)
+        feat = input_dict["feat"]
+        mask = input_dict["mask"]
+        intermediates = {}
+
+        dpr = [
+            self.drop_path_rate * i / max(sum(self.depths) - 1, 1)
+            for i in range(sum(self.depths))
+        ]
+
+        # KPConv stem
+        feat = KPConvBlock(
+            feat.shape[-1], self.channels[0], self.prev_grid_size,
+            self.sigma, residual=False,
+            kp_radius=self.kp_ball_radius / self.prev_grid_size,
+            max_neighbor=self.kp_max_neighbor, name="stem0",
+        )(feat, coord, mask, train)
+        layer_start = 0 if self.stem_transformer else 1
+        if not self.stem_transformer:
+            feat = KPConvBlock(
+                self.channels[0], self.channels[0], self.prev_grid_size,
+                self.sigma, residual=True,
+                kp_radius=self.kp_ball_radius / self.prev_grid_size,
+                max_neighbor=self.kp_max_neighbor, name="stem1",
+            )(feat, coord, mask, train)
+            intermediates["stem"] = (feat, coord, mask)
+            feat, coord, mask = TransitionDown(
+                self.channels[0], self.channels[1], self.ratio, self.k,
+                name="stem_down",
+            )(feat, coord, mask, train)
+
+        # encoder layers
+        skips = []
+        for li, i in enumerate(range(layer_start, self.num_layers)):
+            ws = self.window_size[i]
+            # FPS downsample set for stratified sparse keys
+            m = max(coord.shape[1] // self.downsample_scale, 1)
+            ds_idx, ds_valid = jax.vmap(
+                lambda c, mk: blocked_farthest_point_sampling(c, m, mask=mk)
+            )(coord, mask)
+            base = sum(self.depths[:i])
+            for d in range(self.depths[i]):
+                key_idx, key_mask = self._key_sets(
+                    coord, mask, ws, shift=(d % 2 == 1),
+                    ds_idx=ds_idx, ds_valid=ds_valid,
+                )
+                feat = STBlock(
+                    self.channels[i], self.num_heads[i], ws,
+                    self.quant_sizes[i], self.rel_query, self.rel_key,
+                    self.rel_value, dpr[base + d],
+                    name=f"layer{i}_block{d}",
+                )(feat, coord, key_idx, key_mask, mask, train)
+            skips.append((feat, coord, mask))
+            intermediates[f"enc{i}"] = (feat, coord, mask)
+            if i < self.num_layers - 1:
+                feat, coord, mask = TransitionDown(
+                    self.channels[i], self.channels[i + 1], self.ratio,
+                    self.k, name=f"down{i}",
+                )(feat, coord, mask, train)
+
+        # decoder: upsample through the skips; ``up{step}`` intermediates
+        # mirror the reference's backbone.upsamples.{step} hook outputs
+        # consumed by the ST recognizer (recognizer_model/st_v1m1.py:47-66)
+        feat, coord, mask = skips.pop()
+        step = 0
+        for i in range(self.num_layers - 1, layer_start, -1):
+            skip_feat, skip_coord, skip_mask = skips.pop()
+            feat = Upsample(
+                self.up_k, self.channels[i], self.channels[i - 1],
+                name=f"up{i}",
+            )(feat, coord, mask, skip_feat, skip_coord, skip_mask, train)
+            coord, mask = skip_coord, skip_mask
+            intermediates[f"dec{i}"] = (feat, coord, mask)
+            intermediates[f"up{step}"] = (feat, coord, mask)
+            step += 1
+        if not self.stem_transformer:
+            s_feat, s_coord, s_mask = intermediates["stem"]
+            feat = Upsample(
+                self.up_k, self.channels[1], self.channels[0], name="up0",
+            )(feat, coord, mask, s_feat, s_coord, s_mask, train)
+            coord, mask = s_coord, s_mask
+            intermediates["dec0"] = (feat, coord, mask)
+            intermediates[f"up{step}"] = (feat, coord, mask)
+            step += 1
+
+        y = nn.Dense(self.channels[0], name="cls_fc1")(feat)
+        y = MaskedBatchNorm(self.channels[0], name="cls_bn")(y, mask, train)
+        y = nn.relu(y)
+        logits = nn.Dense(self.num_classes, name="cls_fc2")(y)
+        logits = jnp.where(mask[..., None], logits, 0.0)
+        return logits, intermediates

@@ -61,3 +61,64 @@ def morton_sort_indices(coord: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     code = morton_encode(g)
     code = jnp.where(mask, code, jnp.uint32(0xFFFFFFFF))
     return jnp.argsort(code).astype(jnp.int32)
+
+
+def hilbert_encode(grid_coord: jnp.ndarray,
+                   bits: int = MORTON_BITS) -> jnp.ndarray:
+    """Hilbert-curve codes via Skilling's axes->transpose transform.
+
+    grid_coord (..., 3) non-negative ints (clipped to ``bits`` bits);
+    returns uint32 codes whose ordering follows the 3D Hilbert curve —
+    better locality than z-order, used by PT-v3's 'hilbert' orders
+    (reference pointcept/models/utils/serialization/hilbert.py).
+    Vectorized: the bit loop unrolls statically, all lanes in parallel.
+    """
+    g = jnp.clip(grid_coord, 0, (1 << bits) - 1).astype(jnp.uint32)
+    x = [g[..., 0], g[..., 1], g[..., 2]]
+
+    # static python loop bounds so the transform unrolls under jit
+    for shift in range(bits - 1, 0, -1):
+        q = jnp.uint32(1 << shift)
+        p = q - jnp.uint32(1)
+        for i in range(3):
+            hit = (x[i] & q) != 0
+            # invert x[0] low bits, or exchange low bits of x[0] and x[i]
+            inv = x[0] ^ p
+            t = (x[0] ^ x[i]) & p
+            x0_ex, xi_ex = x[0] ^ t, x[i] ^ t
+            x[0] = jnp.where(hit, inv, x0_ex)
+            if i != 0:
+                x[i] = jnp.where(hit, x[i], xi_ex)
+
+    # Gray encode
+    x[1] = x[1] ^ x[0]
+    x[2] = x[2] ^ x[1]
+    t = jnp.zeros_like(x[0])
+    for shift in range(bits - 1, 0, -1):
+        q = jnp.uint32(1 << shift)
+        t = jnp.where((x[2] & q) != 0, t ^ (q - jnp.uint32(1)), t)
+    x = [xi ^ t for xi in x]
+
+    # interleave transposed bits, axis 0 most significant per triple
+    return (
+        (_part1by2_u32(x[0]) << 2)
+        | (_part1by2_u32(x[1]) << 1)
+        | _part1by2_u32(x[2])
+    )
+
+
+def serialize_code(grid_coord: jnp.ndarray, order: str = "z") -> jnp.ndarray:
+    """(..., 3) int grid -> (...,) uint32 code for the named curve order.
+
+    Orders follow the reference naming (serialization/default.py:10-24):
+    'z', 'z-trans' (x/y swapped), 'hilbert', 'hilbert-trans'.
+    """
+    order = order.replace("_", "-")
+    if order.endswith("-trans"):
+        grid_coord = grid_coord[..., jnp.array([1, 0, 2])]
+        order = order[: -len("-trans")]
+    if order == "z":
+        return morton_encode(grid_coord)
+    if order == "hilbert":
+        return hilbert_encode(grid_coord)
+    raise NotImplementedError(f"unknown serialization order: {order}")

@@ -165,3 +165,17 @@ def scatter_mean_to_parent(feat: jnp.ndarray, child_to_parent: jnp.ndarray,
     )
     counts = jnp.zeros((num_parents,), feat.dtype).at[idx].add(w)
     return summed / jnp.maximum(counts[:, None], 1.0)
+
+
+def flatten_neighbor_rows(nbr: jnp.ndarray) -> jnp.ndarray:
+    """(B, N, K) per-sample rows -> (B*N, K) rows into the flat array."""
+    b, n, k = nbr.shape
+    base = (jnp.arange(b, dtype=jnp.int32) * n)[:, None, None]
+    return jnp.where(nbr >= 0, nbr + base, -1).reshape(b * n, k)
+
+
+def flatten_slot_map(idx: jnp.ndarray) -> jnp.ndarray:
+    """(B, N) per-sample slots -> (B*N,) flat slots (-1 kept)."""
+    b, n = idx.shape
+    base = (jnp.arange(b, dtype=jnp.int32) * n)[:, None]
+    return jnp.where(idx >= 0, idx + base, -1).reshape(b * n)

@@ -1,0 +1,99 @@
+"""PT-v3 serialized-attention model tests + hilbert serialization."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from conftest import jit_apply, jit_init
+from pointcloudpdf_tpu.models import build_model
+from pointcloudpdf_tpu.ops.serialization import hilbert_encode, serialize_code
+
+
+class TestHilbert:
+    def test_unit_steps_4cube(self):
+        g = np.array(
+            [[x, y, z] for x in range(4) for y in range(4) for z in range(4)]
+        )
+        codes = np.asarray(hilbert_encode(jnp.asarray(g), bits=2))
+        assert len(np.unique(codes)) == 64  # bijective on the cube
+        path = g[np.argsort(codes)]
+        steps = np.abs(np.diff(path, axis=0)).sum(1)
+        assert (steps == 1).all()  # true hilbert: adjacent cells only
+
+    def test_orders_differ(self):
+        g = jnp.asarray(np.random.RandomState(0).randint(0, 64, (50, 3)))
+        codes = {
+            o: np.asarray(serialize_code(g, o))
+            for o in ("z", "z-trans", "hilbert", "hilbert-trans")
+        }
+        orders = {o: tuple(np.argsort(c)) for o, c in codes.items()}
+        assert len(set(orders.values())) == 4
+
+
+class TestPTv3:
+    def make_batch(self, rng, B=2, N=96, C=6):
+        coord = rng.rand(B, N, 3).astype(np.float32)
+        grid = (coord / 0.05).astype(np.int32)
+        mask = np.zeros((B, N), bool)
+        mask[0] = True
+        mask[1, : N * 3 // 4] = True
+        return dict(
+            coord=jnp.asarray(coord),
+            grid_coord=jnp.asarray(grid),
+            feat=jnp.asarray(rng.rand(B, N, C).astype(np.float32)),
+            mask=jnp.asarray(mask),
+        )
+
+    @pytest.fixture(scope="class")
+    def tiny(self):
+        return build_model(
+            dict(
+                type="PT-v3m1",
+                in_channels=6,
+                order=("z", "hilbert"),
+                stride=(2, 2),
+                enc_depths=(1, 1, 1),
+                enc_channels=(8, 16, 16),
+                enc_num_head=(2, 2, 2),
+                enc_patch_size=(16, 16, 16),
+                dec_depths=(1, 1),
+                dec_channels=(8, 16),
+                dec_num_head=(2, 2),
+                dec_patch_size=(16, 16),
+                drop_path=0.1,
+            )
+        )
+
+    def test_forward_and_padding(self, rng, tiny):
+        batch = self.make_batch(rng)
+        variables = jit_init(tiny, {"params": jax.random.PRNGKey(0)}, batch,
+                             train=False)
+        out = jit_apply(tiny, variables, batch, train=False)
+        assert out.shape == (2, 96, 8)
+        assert np.isfinite(np.asarray(out)).all()
+        assert np.allclose(np.asarray(out)[1, 72:], 0.0)
+
+    def test_train_grads(self, rng, tiny):
+        batch = self.make_batch(rng)
+        variables = jit_init(
+            tiny,
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            batch, train=True,
+        )
+
+        @jax.jit
+        def loss_fn(params):
+            out, _ = tiny.apply(
+                {"params": params,
+                 "batch_stats": variables.get("batch_stats", {})},
+                batch, train=True, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(2)},
+            )
+            return jnp.sum(out ** 2)
+
+        grads = jax.jit(jax.grad(loss_fn))(variables["params"])
+        leaves = jax.tree_util.tree_leaves(grads)
+        assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+        assert sum(float(jnp.sum(jnp.abs(g))) for g in leaves) > 0
