@@ -15,4 +15,5 @@ from .evaluator import (
     ClsEvaluator,
     OpenSegEvaluator,
     IncrSegEvaluator,
+    InsSegEvaluator,
 )

@@ -391,3 +391,134 @@ class IncrSegEvaluator(HookBase):
         if isinstance(best, dict):
             for name, value in best.items():
                 self.trainer.logger.info(f"Best {name}: {value:.4f}")
+
+
+@HOOKS.register_module()
+class InsSegEvaluator(HookBase):
+    """Instance segmentation mAP (ScanNet protocol, compact form).
+
+    Reference: pointcept/engines/hooks/evaluator.py:591-968.  Proposals
+    come from the model's host-side ``propose`` (radius-graph clustering
+    of center-shifted points); AP is averaged over IoU thresholds
+    0.5:0.95:0.05 plus the mAP@50/mAP@25 headline numbers, with greedy
+    score-ordered matching per scene and class.
+    """
+
+    def __init__(self, segment_ignore_index=(-1, 0, 1),
+                 instance_ignore_index=-1):
+        self.segment_ignore_index = tuple(segment_ignore_index)
+        self.instance_ignore_index = instance_ignore_index
+
+    def before_train(self):
+        self.num_classes = self.trainer.cfg.data.num_classes
+        self.valid_classes = [
+            c for c in range(self.num_classes)
+            if c not in self.segment_ignore_index
+        ]
+
+    def after_epoch(self):
+        if self.trainer.cfg.get("evaluate", True) and self.trainer.val_loader:
+            self.eval()
+
+    def eval(self):
+        trainer = self.trainer
+        trainer.logger.info(">>>>>>>>>>>>>>>> Start Evaluation >>>>>>>>>>>>>>>>")
+        scenes = []
+        for i, input_dict in enumerate(trainer.val_loader):
+            batch = trainer.device_batch(input_dict)
+            out = trainer._eval_step(trainer.state, batch)
+            seg_logits = np.asarray(jax.device_get(out["seg_logits"]))
+            bias_pred = np.asarray(jax.device_get(out["bias_pred"]))
+            coord = np.asarray(input_dict["coord"])
+            segment = np.asarray(input_dict["segment"])
+            instance = np.asarray(input_dict["instance"])
+            counts = np.asarray(input_dict["count"])
+            model = trainer.model
+            for b in range(len(counts)):
+                n = int(counts[b])
+                masks, classes, scores = model.propose(
+                    coord[b, :n], seg_logits[b, :n], bias_pred[b, :n],
+                    np.ones(n, bool),
+                )
+                gt_masks, gt_classes = [], []
+                inst = instance[b, :n]
+                seg = segment[b, :n]
+                for iid in np.unique(inst):
+                    if iid == self.instance_ignore_index:
+                        continue
+                    m = inst == iid
+                    cls = np.bincount(
+                        seg[m][seg[m] >= 0], minlength=self.num_classes
+                    ).argmax() if (seg[m] >= 0).any() else -1
+                    if cls in self.segment_ignore_index:
+                        continue
+                    gt_masks.append(m)
+                    gt_classes.append(int(cls))
+                scenes.append(dict(
+                    masks=masks, classes=classes, scores=scores,
+                    gt_masks=np.stack(gt_masks) if gt_masks else
+                    np.zeros((0, n), bool),
+                    gt_classes=np.asarray(gt_classes, np.int64),
+                ))
+            trainer.logger.info(
+                f"Test: [{i + 1}/{len(trainer.val_loader)}]"
+            )
+
+        all_scenes = [s for r in comm.all_gather(scenes) for s in r]
+        overlaps = np.append(np.arange(0.5, 0.96, 0.05), 0.25)
+        ap_table = np.zeros((len(overlaps), len(self.valid_classes)))
+        for oi, overlap in enumerate(overlaps):
+            for ci, cls in enumerate(self.valid_classes):
+                ap_table[oi, ci] = self._class_ap(all_scenes, cls, overlap)
+        m_ap = float(np.nanmean(ap_table[: -1]))
+        m_ap50 = float(np.nanmean(ap_table[0]))
+        m_ap25 = float(np.nanmean(ap_table[-1]))
+        trainer.logger.info(
+            f"Val result: mAP/AP50/AP25 {m_ap:.4f}/{m_ap50:.4f}/{m_ap25:.4f}."
+        )
+        trainer.logger.info("<<<<<<<<<<<<<<<<< End Evaluation <<<<<<<<<<<<<<<<<")
+        trainer.comm_info["current_metric_value"] = m_ap50
+        trainer.comm_info["current_metric_name"] = "AP50"
+
+    @staticmethod
+    def _class_ap(scenes, cls, overlap):
+        records = []   # (score, is_tp)
+        n_gt = 0
+        for sc in scenes:
+            gt_sel = np.where(sc["gt_classes"] == cls)[0]
+            n_gt += len(gt_sel)
+            pr_sel = np.where(sc["classes"] == cls)[0]
+            if len(pr_sel) == 0:
+                continue
+            order = pr_sel[np.argsort(-sc["scores"][pr_sel])]
+            matched = np.zeros(len(gt_sel), bool)
+            for p in order:
+                pm = sc["masks"][p]
+                best_iou, best_j = 0.0, -1
+                for j, g in enumerate(gt_sel):
+                    if matched[j]:
+                        continue
+                    gm = sc["gt_masks"][g]
+                    iou = (pm & gm).sum() / max((pm | gm).sum(), 1)
+                    if iou > best_iou:
+                        best_iou, best_j = iou, j
+                if best_iou >= overlap and best_j >= 0:
+                    matched[best_j] = True
+                    records.append((sc["scores"][p], 1))
+                else:
+                    records.append((sc["scores"][p], 0))
+        if n_gt == 0:
+            return np.nan
+        if not records:
+            return 0.0
+        records.sort(key=lambda r: -r[0])
+        tp = np.cumsum([r[1] for r in records])
+        fp = np.cumsum([1 - r[1] for r in records])
+        recall = tp / n_gt
+        precision = tp / np.maximum(tp + fp, 1e-12)
+        # VOC-style AP: integrate the PR envelope
+        rec = np.concatenate([[0.0], recall, [recall[-1]]])
+        pre = np.concatenate([[1.0], precision, [0.0]])
+        for k in range(len(pre) - 2, -1, -1):
+            pre[k] = max(pre[k], pre[k + 1])
+        return float(np.sum((rec[1:] - rec[:-1]) * pre[1:]))

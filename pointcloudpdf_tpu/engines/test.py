@@ -506,3 +506,201 @@ def _softmax_np(x: np.ndarray, axis: int = -1) -> np.ndarray:
     x = x - x.max(axis=axis, keepdims=True)
     e = np.exp(x)
     return e / e.sum(axis=axis, keepdims=True)
+
+
+@TESTERS.register_module()
+class PartSegTester(TesterBase):
+    """ShapeNetPart tester: TTA-vote part labels per shape, category-wise
+    part IoU (reference test.py:1199-1291)."""
+
+    def test(self):
+        logger = self.logger
+        cfg = self.cfg
+        num_classes = cfg.data.num_classes
+        logger.info(">>>>>>>>>>>>>>>> Start Evaluation >>>>>>>>>>>>>>>>")
+        dataset = self.test_dataset
+        categories = dataset.categories
+        category2part = dataset.category2part
+        iou_category = np.zeros(len(categories))
+        iou_count = np.zeros(len(categories))
+        save_path = make_dirs(os.path.join(cfg.save_path, "result"))
+
+        for idx in self.scene_indices():
+            data = dataset[idx]
+            fragment_list = data.pop("fragment_list")
+            label = np.asarray(data.pop("segment")).reshape(-1)
+            cls_token = data.pop("cls_token")
+            data_name = data.pop("name")
+            vote = np.zeros((label.size, num_classes), np.float32)
+            for fragment in fragment_list:
+                index = np.asarray(fragment["index"]).reshape(-1)
+                fragment = dict(fragment)
+                fragment.setdefault("category", np.array([cls_token]))
+                out = self.forward_fragment(fragment)
+                key = "seg_logits" if "seg_logits" in out else "cls_logits"
+                np.add.at(vote, index, _softmax_np(out[key]))
+            pred = vote.argmax(-1)
+            category = categories[cls_token]
+            parts = category2part[category]
+            parts_iou = np.zeros(len(parts))
+            for j, part in enumerate(parts):
+                gt, pd = label == part, pred == part
+                if not gt.any() and not pd.any():
+                    parts_iou[j] = 1.0
+                else:
+                    parts_iou[j] = (gt & pd).sum() / max((gt | pd).sum(), 1)
+            iou_category[cls_token] += parts_iou.mean()
+            iou_count[cls_token] += 1
+            logger.info(
+                f"Test: {data_name} [{idx + 1}/{len(dataset)}] "
+                f"{category} iou {parts_iou.mean():.4f}"
+            )
+            np.save(os.path.join(save_path, f"{data_name}_pred.npy"), pred)
+
+        totals = comm.all_gather((iou_category, iou_count))
+        iou_category = np.sum([t[0] for t in totals], axis=0)
+        iou_count = np.sum([t[1] for t in totals], axis=0)
+        if comm.is_main_process():
+            ins_iou = iou_category.sum() / max(iou_count.sum(), 1e-10)
+            cat_iou = (
+                iou_category[iou_count > 0] / iou_count[iou_count > 0]
+            ).mean()
+            logger.info(
+                f"Val result: ins.mIoU/cat.mIoU {ins_iou:.4f}/{cat_iou:.4f}"
+            )
+            for i, name in enumerate(categories):
+                if iou_count[i] > 0:
+                    logger.info(
+                        f"Class_{i}-{name} Result: iou_cat "
+                        f"{iou_category[i] / iou_count[i]:.4f}"
+                    )
+            logger.info("<<<<<<<<<<<<<<<<< End Evaluation <<<<<<<<<<<<<<<<<")
+
+
+@TESTERS.register_module()
+class IncrSegTester(TesterBase):
+    """Incremental-learning tester: fragment voting with the student
+    (base+new classes), known/incr/remap metric triple
+    (reference test.py:512-894)."""
+
+    def __init__(self, cfg, **kwargs):
+        super().__init__(cfg, **kwargs)
+        from ..incr_learners import build_incremental_learner
+
+        self.incr_learner = build_incremental_learner(cfg.incremental_learner)
+        self.remap = dict(cfg.incr_label_remap)
+        self.base_num_classes = cfg.data.num_classes
+        self.remap_num_classes = self.base_num_classes + len(self.remap)
+        select = cfg.get("incr_label_select", list(self.remap.keys()))
+        self.mask_known = ~selected_mask(
+            list(self.remap.keys()), self.base_num_classes
+        )
+        self.incr_label_idx = [self.remap[k] for k in select if k in self.remap]
+        self.mask_incr_remap = ~selected_mask(
+            list(self.remap.keys()) + list(self.remap.values()),
+            self.remap_num_classes,
+        ) | selected_mask(self.incr_label_idx, self.remap_num_classes)
+
+    def build_model(self):
+        # the tested model is the student (built lazily in __init__ order:
+        # TesterBase builds this before incr_learner exists)
+        from ..incr_learners import build_incremental_learner
+
+        return build_incremental_learner(
+            self.cfg.incremental_learner
+        ).model
+
+    def checkpoint_model_state(self):
+        state = self.load_checkpoint_payload()["state"]
+        params = state["params"]
+        stats = state.get("batch_stats", {})
+        if isinstance(params, dict) and "incr" in params:
+            return params["incr"], stats.get("incr", {})
+        return params, stats
+
+    def make_forward(self):
+        model = self.model
+
+        @jax.jit
+        def forward(params, batch_stats, batch):
+            out = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                batch, train=False,
+            )
+            if isinstance(out, tuple):
+                out = out[0]
+            return {"seg_logits": out}
+
+        return forward
+
+    def test(self):
+        logger = self.logger
+        cfg = self.cfg
+        k = self.remap_num_classes
+        ignore_index = cfg.data.get("ignore_index", -1)
+        logger.info(">>>>>>>>>>>>>>>> Start Evaluation >>>>>>>>>>>>>>>>")
+        save_path = make_dirs(os.path.join(cfg.save_path, "result"))
+        # remap lookup for the full-resolution ground truth
+        lut_size = max([k] + [o + 1 for o in self.remap])
+        lut = np.arange(lut_size)
+        for old, new in self.remap.items():
+            lut[old] = new
+        record = {}
+
+        for idx in self.scene_indices():
+            data_dict = self.test_dataset[idx]
+            fragment_list = data_dict.pop("fragment_list")
+            segment = np.asarray(data_dict.pop("segment")).reshape(-1)
+            data_name = data_dict.pop("name")
+            pred_save_path = os.path.join(save_path, f"{data_name}_pred.npy")
+            if os.path.isfile(pred_save_path):
+                pred = np.load(pred_save_path)
+            else:
+                vote = np.zeros((segment.size, k), np.float32)
+                for i, fragment in enumerate(fragment_list):
+                    index = np.asarray(fragment["index"]).reshape(-1)
+                    out = self.forward_fragment(fragment)
+                    np.add.at(vote, index, _softmax_np(out["seg_logits"]))
+                pred = vote.argmax(-1)
+                np.save(pred_save_path, pred)
+            if "origin_segment" in data_dict:
+                pred = pred[data_dict["inverse"]]
+                segment = np.asarray(data_dict["origin_segment"]).reshape(-1)
+            target = np.where(
+                segment == ignore_index, ignore_index,
+                lut[np.clip(segment, 0, lut_size - 1)],
+            )
+            inter, union, tgt = intersection_and_union_np(
+                pred, target, k, ignore_index
+            )
+            record[data_name] = dict(intersection=inter, union=union,
+                                     target=tgt)
+            logger.info(f"Test: {data_name} [{idx + 1}/{len(self.test_dataset)}]")
+
+        gathered = comm.gather(record, dst=0)
+        if comm.is_main_process():
+            record = {kk: v for r in gathered for kk, v in r.items()}
+            inter = np.sum([m["intersection"] for m in record.values()], axis=0)
+            union = np.sum([m["union"] for m in record.values()], axis=0)
+            target = np.sum([m["target"] for m in record.values()], axis=0)
+            iou_class = inter / np.maximum(union, 1e-10)
+            acc_class = inter / np.maximum(target, 1e-10)
+
+            def triple(sel):
+                return (
+                    float(np.mean(iou_class[sel])),
+                    float(np.mean(acc_class[sel])),
+                    float(inter[sel].sum() / max(target[sel].sum(), 1e-10)),
+                )
+
+            for tag, sel in (
+                ("known", np.where(self.mask_known)[0]),
+                ("incr", np.asarray(self.incr_label_idx)),
+                ("remap", np.where(self.mask_incr_remap)[0]),
+            ):
+                m_iou, m_acc, acc = triple(sel)
+                logger.info(
+                    f"Val result: mIoU/mAcc/Acc {tag} "
+                    f"{m_iou:.4f}/{m_acc:.4f}/{acc:.4f}."
+                )
+            logger.info("<<<<<<<<<<<<<<<<< End Evaluation <<<<<<<<<<<<<<<<<")

@@ -182,6 +182,14 @@ class Trainer(TrainerBase):
     def compute_loss(self, out: Dict, batch: Dict):
         """Return (total loss, aux scalar dict) per the reference contract
         (models/default.py:46-62: seg uses ``segment``, cls ``category``)."""
+        if "loss" in out:
+            # model computed its own loss (PointGroup, MSC, ...): pass
+            # the scalar parts through for logging
+            parts = {
+                k: v for k, v in out.items()
+                if getattr(v, "ndim", 1) == 0 and k != "loss"
+            }
+            return out["loss"], parts
         if "seg_logits" in out:
             loss = self.model.loss(out["seg_logits"], batch["segment"])
         elif "cls_logits" in out:
@@ -697,6 +705,98 @@ class IncrSegTrainer(Trainer):
         self.state, out = self._train_step(
             self.state, batch, rng, self.teacher_variables
         )
+        self._host_step += 1
+        self.comm_info["model_output_dict"] = out
+        self.comm_info["lr"] = float(self.scheduler(max(self._host_step - 1, 0)))
+
+
+@TRAINERS.register_module("MultiDatasetTrainer")
+class MultiDatasetTrainer(Trainer):
+    """Joint multi-dataset training (PPT).
+
+    Reference: pointcept/engines/train.py:296-310 — swaps the train loader
+    for MultiDatasetDataloader.  Each batch carries one dataset's
+    ``condition`` string; the string is a *static* argument, so the step
+    compiles once per dataset condition (the reference's per-condition
+    module indexing, TPU-style).
+    """
+
+    def __init__(self, cfg):
+        super().__init__(cfg)
+        self._cond_steps: Dict[str, Any] = {}
+
+    def build_train_loader(self):
+        from ..datasets.loader import MultiDatasetDataloader
+
+        dataset = build_dataset(dict(self.cfg.data.train))
+        collate = functools.partial(
+            padded_collate_fn,
+            mix_prob=self.cfg.get("mix_prob", 0.0),
+            ignore_index=self.cfg.data.get("ignore_index", -1),
+        )
+        return MultiDatasetDataloader(
+            dataset,
+            batch_size=self.cfg.batch_size,
+            collate_fn=collate,
+            num_workers=self.cfg.get("num_worker", 4),
+            seed=self.cfg.get("seed") or 0,
+            shard_id=comm.get_rank(),
+            num_shards=comm.get_world_size(),
+        )
+
+    def _make_train_step_for(self, condition):
+        model = self.model
+        tx = self.tx
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def train_step(state: TrainState, batch: Dict, rng):
+            def loss_fn(params):
+                variables = {"params": params,
+                             "batch_stats": state.batch_stats}
+                try:
+                    out, mutated = model.apply(
+                        variables, batch, train=True,
+                        mutable=["batch_stats"], rngs={"dropout": rng},
+                        condition=condition,
+                    )
+                except TypeError:
+                    out, mutated = model.apply(
+                        variables, batch, train=True,
+                        mutable=["batch_stats"], rngs={"dropout": rng},
+                    )
+                loss, parts = self.compute_loss(out, batch)
+                return loss, (mutated["batch_stats"], parts)
+
+            (loss, (batch_stats, parts)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            params = optax.apply_updates(state.params, updates)
+            return state.replace(
+                params=params, batch_stats=batch_stats,
+                opt_state=opt_state, step=state.step + 1,
+            ), {"loss": loss, **parts}
+
+        return train_step
+
+    def run_step(self):
+        input_dict = self.comm_info["input_dict"]
+        condition = None
+        if "condition" in input_dict:
+            cond = input_dict["condition"]
+            condition = cond[0] if isinstance(cond, (list, tuple)) else str(cond)
+        batch = self.device_batch(input_dict)
+        if self.state is None:
+            self.initialize_state(batch)
+            self._host_step = int(jax.device_get(self.state.step))
+        if condition is None:
+            super().run_step()
+            return
+        if condition not in self._cond_steps:
+            self._cond_steps[condition] = self._make_train_step_for(condition)
+        rng = jax.random.fold_in(self._base_rng, self._host_step + 1)
+        self.state, out = self._cond_steps[condition](self.state, batch, rng)
         self._host_step += 1
         self.comm_info["model_output_dict"] = out
         self.comm_info["lr"] = float(self.scheduler(max(self._host_step - 1, 0)))

@@ -7,4 +7,8 @@ from . import sparse_unet        # registers SpUNet-v1m1/v1m2
 from . import point_transformer_v3  # registers PT-v3m1
 from . import point_transformer_v2  # registers PT-v2m1/v2m2
 from . import stratified_transformer  # registers ST-v1m1
+from . import point_group            # registers PG-v1m1
+from . import context_aware_classifier  # registers CAC-v1m1
+from . import masked_scene_contrast  # registers MSC-v1m1
+from . import point_prompt_training  # registers PPT-v1m1
 from .utils.structure import Points

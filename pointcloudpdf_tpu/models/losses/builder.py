@@ -12,7 +12,8 @@ LOSSES = Registry("losses")
 
 class Criteria:
     def __init__(self, cfg=None):
-        self.cfg = cfg if cfg is not None else []
+        # coerce Mapping entries (e.g. flax FrozenDict module fields) to dict
+        self.cfg = [dict(c) for c in (cfg if cfg is not None else [])]
         self.criteria = [LOSSES.build(c) for c in self.cfg]
 
     def __call__(self, pred, target):

@@ -1,0 +1,191 @@
+"""Masked Scene Contrast pretraining (MSC), TPU-native.
+
+Reference: pointcept/models/masked_scene_contrast/
+masked_scene_contrast_v1m1_base.py:24-310.  Two augmented views of each
+scene; grid patches of the union are cross-masked (patches tagged 1 hide
+in view1, tagged 2 in view2) and replaced by a learned mask token; the
+backbone embeds both views; losses are InfoNCE over radius-matched point
+pairs plus masked color/normal reconstruction.
+
+Static-shape re-expressions:
+- patch masks build per sample with :func:`...ops.voxel.unique_parents`
+  over the union coords (capacity 2N) and a PRNG permutation of patch
+  slots — no host round-trip, runs inside the jit step;
+- pair matching picks each view1 point's nearest view2 point within
+  ``matching_max_radius`` and keeps a random fixed-size subset of
+  ``matching_max_pair`` rows (top-k over random scores), with a validity
+  mask standing in for the reference's variable pair count;
+- the InfoNCE (P, P) similarity masks invalid rows/columns instead of
+  shrinking; cross-process reduction is GSPMD's, not an explicit
+  all_reduce.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...ops.geometry import knn
+from ...ops.voxel import unique_parents
+from ..builder import MODELS, build_model
+
+_trunc02 = nn.initializers.truncated_normal(stddev=0.02)
+
+
+@MODELS.register_module("MSC-v1m1")
+class MaskedSceneContrast(nn.Module):
+    backbone: Optional[Any] = None
+    backbone_in_channels: int = 6
+    backbone_out_channels: int = 96
+    mask_grid_size: float = 0.1
+    mask_rate: float = 0.4
+    view1_mix_prob: float = 0.0
+    view2_mix_prob: float = 0.0
+    matching_max_k: int = 8
+    matching_max_radius: float = 0.03
+    matching_max_pair: int = 8192
+    nce_t: float = 0.4
+    contrast_weight: float = 1.0
+    reconstruct_weight: float = 1.0
+    reconstruct_color: bool = True
+    reconstruct_normal: bool = True
+
+    def setup(self):
+        self.backbone_module = build_model(dict(self.backbone))
+        self.mask_token = self.param(
+            "mask_token", _trunc02, (1, self.backbone_in_channels)
+        )
+        if self.reconstruct_color:
+            self.color_head = nn.Dense(3, name="color_head")
+        if self.reconstruct_normal:
+            self.normal_head = nn.Dense(3, name="normal_head")
+
+    # -- cross masks ---------------------------------------------------------
+    def _cross_masks(self, oc1, m1, oc2, m2, rng):
+        """Per-sample grid-patch cross masks (reference :69-141)."""
+        union = jnp.concatenate([oc1, oc2], axis=1)        # (B, 2N, 3)
+        umask = jnp.concatenate([m1, m2], axis=1)
+        grid = jnp.maximum(
+            jnp.floor(union / self.mask_grid_size), 0
+        ).astype(jnp.int32)
+
+        def one(g, m, key):
+            _, p_mask, c2p = unique_parents(g, m, 1)
+            cap = p_mask.shape[0]
+            n_patch = jnp.sum(p_mask)
+            # random patch permutation; invalid slots pushed to the end
+            score = jax.random.uniform(key, (cap,))
+            score = jnp.where(p_mask, score, 2.0)
+            rank = jnp.argsort(jnp.argsort(score))          # rank of each slot
+            k_mask = (n_patch * self.mask_rate).astype(jnp.int32)
+            tag = jnp.where(
+                rank < k_mask, 1, jnp.where(rank < 2 * k_mask, 2, 0)
+            )
+            point_tag = jnp.where(c2p >= 0, tag[jnp.maximum(c2p, 0)], 0)
+            return point_tag
+
+        keys = jax.random.split(rng, union.shape[0])
+        point_tag = jax.vmap(one)(grid, umask, keys)        # (B, 2N)
+        n = oc1.shape[1]
+        return (point_tag[:, :n] == 1) & m1, (point_tag[:, n:] == 2) & m2
+
+    # -- pair matching -------------------------------------------------------
+    def _match_pairs(self, oc1, m1, oc2, m2, rng):
+        """(B*P,) flat index pairs + validity (reference :142-172)."""
+        idx, d2 = jax.vmap(
+            lambda q, r, m: knn(q, r, 1, ref_mask=m)
+        )(oc1, oc2, m2)
+        idx, d2 = idx[..., 0], d2[..., 0]
+        ok = (d2 < self.matching_max_radius ** 2) & m1      # (B, N)
+        b, n = ok.shape
+        flat_ok = ok.reshape(-1)
+        score = jax.random.uniform(rng, (b * n,))
+        score = jnp.where(flat_ok, score, -1.0)
+        p = min(self.matching_max_pair, b * n)
+        top = jax.lax.top_k(score, p)[1]                    # (P,) flat rows
+        valid = flat_ok[top]
+        row1 = top
+        base = (jnp.arange(b) * n)[:, None]
+        flat_idx2 = (idx + base).reshape(-1)
+        row2 = flat_idx2[top]
+        return row1, row2, valid
+
+    def _info_nce(self, f1, f2, valid):
+        f1 = f1 / (jnp.linalg.norm(f1, axis=-1, keepdims=True) + 1e-7)
+        f2 = f2 / (jnp.linalg.norm(f2, axis=-1, keepdims=True) + 1e-7)
+        sim = jnp.einsum("pc,qc->pq", f1, f2)
+        pos_sim = jnp.sum(jnp.diag(sim) * valid) / jnp.maximum(valid.sum(), 1)
+        neg_sim = jnp.sum(
+            sim * valid[:, None] * valid[None, :]
+        ) / jnp.maximum(valid.sum() ** 2, 1)
+        logits = jnp.where(valid[None, :], sim / self.nce_t, -1e9)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        ce = -jnp.diag(logp)
+        loss = jnp.sum(ce * valid) / jnp.maximum(valid.sum(), 1)
+        return loss, pos_sim, neg_sim
+
+    def __call__(self, input_dict: Dict, train: bool = True) -> Dict:
+        oc1 = input_dict["view1_origin_coord"]
+        oc2 = input_dict["view2_origin_coord"]
+        m1 = input_dict["mask"]
+        m2 = input_dict["mask"]
+        rng = self.make_rng("dropout") if train else jax.random.PRNGKey(0)
+        k_mask, k_pair = jax.random.split(rng)
+
+        pm1, pm2 = self._cross_masks(oc1, m1, oc2, m2, k_mask)
+        tok = self.mask_token[0]
+        f1 = jnp.where(pm1[..., None], tok, input_dict["view1_feat"])
+        f2 = jnp.where(pm2[..., None], tok, input_dict["view2_feat"])
+
+        def view_dict(prefix, feat):
+            d = dict(
+                coord=input_dict[f"{prefix}_coord"],
+                origin_coord=input_dict[f"{prefix}_origin_coord"],
+                feat=feat,
+                mask=m1,
+            )
+            if f"{prefix}_grid_coord" in input_dict:
+                d["grid_coord"] = input_dict[f"{prefix}_grid_coord"]
+            return d
+
+        out1 = self.backbone_module(view_dict("view1", f1), train=train)
+        out2 = self.backbone_module(view_dict("view2", f2), train=train)
+        e1 = out1[0] if isinstance(out1, tuple) else out1
+        e2 = out2[0] if isinstance(out2, tuple) else out2
+
+        b, n, c = e1.shape
+        row1, row2, valid = self._match_pairs(oc1, m1, oc2, m2, k_pair)
+        nce_loss, pos_sim, neg_sim = self._info_nce(
+            e1.reshape(-1, c)[row1], e2.reshape(-1, c)[row2], valid
+        )
+        loss = nce_loss * self.contrast_weight
+        result = dict(nce_loss=nce_loss, pos_sim=pos_sim, neg_sim=neg_sim)
+
+        def masked_mse(pred, target, m):
+            w = m.astype(pred.dtype)[..., None]
+            return jnp.sum(((pred - target) ** 2) * w) / jnp.maximum(
+                jnp.sum(m) , 1.0
+            )
+
+        if self.reconstruct_color:
+            c_loss = masked_mse(
+                self.color_head(e1), input_dict["view1_color"], pm1
+            ) + masked_mse(
+                self.color_head(e2), input_dict["view2_color"], pm2
+            )
+            loss = loss + c_loss * self.reconstruct_weight
+            result["color_loss"] = c_loss
+        if self.reconstruct_normal:
+            n1 = self.normal_head(e1)
+            n1 = n1 / (jnp.linalg.norm(n1, axis=-1, keepdims=True) + 1e-10)
+            n2 = self.normal_head(e2)
+            n2 = n2 / (jnp.linalg.norm(n2, axis=-1, keepdims=True) + 1e-10)
+            n_loss = masked_mse(n1, input_dict["view1_normal"], pm1) + \
+                masked_mse(n2, input_dict["view2_normal"], pm2)
+            loss = loss + n_loss * self.reconstruct_weight
+            result["normal_loss"] = n_loss
+        result["loss"] = loss
+        return result

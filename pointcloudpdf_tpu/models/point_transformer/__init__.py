@@ -16,3 +16,9 @@ from .point_transformer_cls import (
     point_transformer_cls38,
     point_transformer_cls50,
 )
+from .point_transformer_partseg import (
+    PointTransformerPartSeg,
+    pt_partseg26,
+    pt_partseg38,
+    pt_partseg50,
+)

@@ -274,3 +274,19 @@ def spunet_v1m2(**kwargs):
     """bn-momentum variant registered for config parity (the momentum knob
     lives in MaskedBatchNorm; reference spconv_unet_v1m2_base.py)."""
     return SpUNet(**kwargs)
+
+
+@MODELS.register_module("SpUNet-v1m3")
+def spunet_v1m3(conditions=("ScanNet", "S3DIS", "Structured3D"),
+                zero_init=True, norm_decouple=True, norm_adaptive=False,
+                norm_affine=True, **kwargs):
+    """PDNorm variant accepted for PPT config parity.
+
+    The reference SpUNet-v1m3 swaps every BatchNorm for per-dataset
+    decoupled PDNorm (spconv_unet_v1m3_pdnorm.py).  This build currently
+    shares one masked BN across conditions (the PPT context embedding and
+    language head still condition the model); decoupled norms thread
+    through in a follow-up.
+    """
+    kwargs.pop("context_channels", None)
+    return SpUNet(**kwargs)
