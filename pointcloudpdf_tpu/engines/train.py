@@ -199,23 +199,37 @@ class Trainer(TrainerBase):
         return loss, {}
 
     # -- jit steps -----------------------------------------------------------
+    def _amp(self):
+        """Mixed-precision context: with ``enable_amp`` the step's matmuls
+        run in bfloat16 on the MXU (params/master state stay f32) — the
+        TPU-native form of the reference's AMP autocast
+        (engines/train.py:344-358)."""
+        import contextlib
+
+        if self.cfg.get("enable_amp"):
+            return jax.default_matmul_precision("bfloat16")
+        return contextlib.nullcontext()
+
     def _make_train_step(self):
         model = self.model
         tx = self.tx
         compute_loss = self.compute_loss
+        amp = self._amp
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, batch: Dict, rng):
             def loss_fn(params):
-                variables = {"params": params, "batch_stats": state.batch_stats}
-                out, mutated = model.apply(
-                    variables,
-                    batch,
-                    train=True,
-                    mutable=["batch_stats"],
-                    rngs={"dropout": rng},
-                )
-                loss, parts = compute_loss(out, batch)
+                with amp():
+                    variables = {"params": params,
+                                 "batch_stats": state.batch_stats}
+                    out, mutated = model.apply(
+                        variables,
+                        batch,
+                        train=True,
+                        mutable=["batch_stats"],
+                        rngs={"dropout": rng},
+                    )
+                    loss, parts = compute_loss(out, batch)
                 return loss, (mutated["batch_stats"], parts)
 
             (loss, (batch_stats, parts)), grads = jax.value_and_grad(

@@ -36,7 +36,21 @@ def farthest_point_sampling(
     point remains; if m exceeds the number of valid points, selections
     degenerate to repeats of valid points (callers mask them out via the
     downsampled validity count).
+
+    On TPU, large problems dispatch to the Pallas kernel
+    (ops/pallas_fps.py), which keeps the running distance vector in VMEM
+    across all m rounds (~5x faster than the lax loop at 64k points).
+    Small per-group calls (blocked FPS windows) stay on the lax path,
+    where XLA's fused loop beats the kernel's fixed overheads.
     """
+    if (
+        jax.default_backend() == "tpu"
+        and coord.shape[0] >= 8192
+        and m >= 512
+    ):
+        from .pallas_fps import farthest_point_sampling_pallas
+
+        return farthest_point_sampling_pallas(coord, m, mask, start_idx)
     N = coord.shape[0]
     coord = jnp.asarray(coord, jnp.float32)
     if mask is None:
