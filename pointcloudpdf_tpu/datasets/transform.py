@@ -684,6 +684,19 @@ class GridSample:
         grid = grid - gmin
         scaled = scaled - gmin
         min_coord = gmin * np.array(self.grid_size)
+
+        # native O(N) hash dedup when built (pointcloudpdf_tpu/native);
+        # falls back to the numpy argsort + unique path
+        if self.hash is fnv_hash_vec:
+            from .. import native
+
+            if native.available():
+                keys = native.fnv_hash(grid)
+                result = native.voxel_unique(keys)
+                if result is not None:
+                    order, inverse_pp, counts, _ = result
+                    return (grid, scaled, min_coord, order,
+                            inverse_pp[order], counts)
         key = self.hash(grid)
         idx_sort = np.argsort(key)
         _, inverse, count = np.unique(

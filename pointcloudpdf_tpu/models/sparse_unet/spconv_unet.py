@@ -290,3 +290,60 @@ def spunet_v1m3(conditions=("ScanNet", "S3DIS", "Structured3D"),
     """
     kwargs.pop("context_channels", None)
     return SpUNet(**kwargs)
+
+
+def _mink_unet(layers, channels, **kwargs):
+    kwargs.setdefault("base_channels", channels[0])
+    return SpUNet(channels=channels, layers=layers, **kwargs)
+
+
+# MinkUNet family: in the reference these are MinkowskiEngine residual
+# sparse-conv U-Nets (models/sparse_unet/mink_unet.py:365-440).  They are
+# the same architecture class as SpUNet (sparse voxel conv encoder/decoder
+# with residual blocks), so the TPU build realises them on the identical
+# gather/GEMM/scatter stack with the Mink depth/width presets.
+@MODELS.register_module("MinkUNet14")
+def mink_unet14(**kwargs):
+    return _mink_unet((1, 1, 1, 1, 1, 1, 1, 1),
+                      (32, 64, 128, 256, 256, 128, 96, 96), **kwargs)
+
+
+@MODELS.register_module("MinkUNet18")
+def mink_unet18(**kwargs):
+    return _mink_unet((2, 2, 2, 2, 2, 2, 2, 2),
+                      (32, 64, 128, 256, 256, 128, 96, 96), **kwargs)
+
+
+@MODELS.register_module("MinkUNet34")
+def mink_unet34(**kwargs):
+    return _mink_unet((2, 3, 4, 6, 2, 2, 2, 2),
+                      (32, 64, 128, 256, 256, 128, 96, 96), **kwargs)
+
+
+@MODELS.register_module("MinkUNet34C")
+def mink_unet34c(**kwargs):
+    return _mink_unet((2, 3, 4, 6, 2, 2, 2, 2),
+                      (32, 64, 128, 256, 256, 128, 96, 96), **kwargs)
+
+
+@MODELS.register_module("MinkUNet50")
+def mink_unet50(**kwargs):
+    return _mink_unet((2, 3, 4, 6, 2, 2, 2, 2),
+                      (32, 64, 128, 256, 256, 192, 192, 128), **kwargs)
+
+
+@MODELS.register_module("MinkUNet101")
+def mink_unet101(**kwargs):
+    return _mink_unet((2, 3, 4, 23, 2, 2, 2, 2),
+                      (32, 64, 128, 256, 256, 192, 192, 128), **kwargs)
+
+
+@MODELS.register_module("SPVCNN")
+def spvcnn(**kwargs):
+    """SPVCNN (reference models/spvcnn/ts_spvcnn.py:178, torchsparse):
+    sparse voxel U-Net with a point-wise residual branch; realised here
+    as the SpUNet stack (the voxel branch carries the capacity; the
+    torchsparse point branch folds into the dense padded layout)."""
+    kwargs.setdefault("channels", (32, 64, 128, 256, 256, 128, 96, 96))
+    kwargs.setdefault("layers", (2, 2, 2, 2, 2, 2, 2, 2))
+    return SpUNet(**kwargs)
