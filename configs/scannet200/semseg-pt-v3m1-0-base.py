@@ -1,0 +1,18 @@
+# ScanNet200 semantic segmentation with PT-v3
+# (reference configs/scannet200/semseg-pt-v3m1-0-base.py).
+_base_ = ["../scannet/semseg-pt-v3m1-0-base.py"]
+
+from pointcloudpdf_tpu.datasets.scannet_constants import CLASS_LABELS_200
+
+model = dict(num_classes=200)
+
+dataset_type = "ScanNet200Dataset"
+data_root = "data/scannet"
+
+data = dict(
+    num_classes=200,
+    names=list(CLASS_LABELS_200),
+    train=dict(type=dataset_type, data_root=data_root),
+    val=dict(type=dataset_type, data_root=data_root),
+    test=dict(type=dataset_type, data_root=data_root),
+)

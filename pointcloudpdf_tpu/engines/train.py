@@ -814,3 +814,35 @@ class MultiDatasetTrainer(Trainer):
         self._host_step += 1
         self.comm_info["model_output_dict"] = out
         self.comm_info["lr"] = float(self.scheduler(max(self._host_step - 1, 0)))
+
+    # condition-aware eval: the evaluator calls _eval_step(state, batch);
+    # the current batch's condition is captured by device_batch
+    def device_batch(self, input_dict: Dict) -> Dict:
+        cond = input_dict.get("condition")
+        self._current_condition = (
+            cond[0] if isinstance(cond, (list, tuple)) else cond
+        )
+        return super().device_batch(input_dict)
+
+    def _make_eval_step(self):
+        model = self.model
+        cache: Dict[Any, Any] = {}
+
+        def eval_step(state: TrainState, batch: Dict):
+            cond = getattr(self, "_current_condition", None)
+            if cond not in cache:
+                def apply_fn(s, b, _cond=cond):
+                    variables = {"params": s.params,
+                                 "batch_stats": s.batch_stats}
+                    if _cond is None:
+                        return model.apply(variables, b, train=False)
+                    try:
+                        return model.apply(variables, b, train=False,
+                                           condition=_cond)
+                    except TypeError:
+                        return model.apply(variables, b, train=False)
+
+                cache[cond] = jax.jit(apply_fn)
+            return cache[cond](state, batch)
+
+        return eval_step

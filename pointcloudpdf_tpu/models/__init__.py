@@ -11,4 +11,5 @@ from . import point_group            # registers PG-v1m1
 from . import context_aware_classifier  # registers CAC-v1m1
 from . import masked_scene_contrast  # registers MSC-v1m1
 from . import point_prompt_training  # registers PPT-v1m1
+from . import oacnns                 # registers OACNNs
 from .utils.structure import Points
