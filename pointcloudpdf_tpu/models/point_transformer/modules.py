@@ -40,7 +40,8 @@ class PointTransformerLayer(nn.Module):
     nsample: int = 16
 
     @nn.compact
-    def __call__(self, pts: Points, train: bool = True) -> jnp.ndarray:
+    def __call__(self, pts: Points, train: bool = True,
+                 nbr=None) -> jnp.ndarray:
         coord, x, mask = pts
         mid = self.out_planes
         groups = self.out_planes // self.share_planes
@@ -49,10 +50,16 @@ class PointTransformerLayer(nn.Module):
         x_k = nn.Dense(mid, name="linear_k")(x)
         x_v = nn.Dense(self.out_planes, name="linear_v")(x)
 
-        idx, dist2 = jax.vmap(lambda q, r, m: knn(q, r, self.nsample, ref_mask=m))(
-            coord, coord, mask
-        )
-        nmask = jnp.isfinite(dist2) & mask[..., None]  # (B, N, K)
+        if nbr is None:
+            idx, dist2 = jax.vmap(
+                lambda q, r, m: knn(q, r, self.nsample, ref_mask=m)
+            )(coord, coord, mask)
+            nmask = jnp.isfinite(dist2) & mask[..., None]  # (B, N, K)
+        else:
+            # coords are constant within a stage, so the stage computes
+            # the kNN table once and every block reuses it (the reference
+            # re-queries per layer, point_transformer_seg.py:48-60)
+            idx, nmask = nbr
 
         k_g = jax.vmap(
             lambda f, i, c, nc: grouping(f, i, c, nc, with_coord=True)
@@ -188,7 +195,7 @@ class Bottleneck(nn.Module):
     expansion: int = 1
 
     @nn.compact
-    def __call__(self, pts: Points, train: bool = True) -> Points:
+    def __call__(self, pts: Points, train: bool = True, nbr=None) -> Points:
         coord, x, mask = pts
         identity = x
         y = nn.Dense(self.planes, use_bias=False, name="linear1")(x)
@@ -197,7 +204,7 @@ class Bottleneck(nn.Module):
         y = PointTransformerLayer(
             self.planes, self.planes, self.share_planes, self.nsample,
             name="transformer",
-        )(Points(coord, y, mask), train)
+        )(Points(coord, y, mask), train, nbr)
         y = MaskedBatchNorm(self.planes, name="bn2")(y, mask, train)
         y = nn.relu(y)
         y = nn.Dense(self.planes * self.expansion, use_bias=False, name="linear3")(y)

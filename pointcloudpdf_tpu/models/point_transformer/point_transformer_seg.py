@@ -35,14 +35,23 @@ class EncoderStage(nn.Module):
 
     @nn.compact
     def __call__(self, pts: Points, train: bool = True) -> Points:
+        import jax
+
+        from ...ops.geometry import knn
+
         pts = TransitionDown(
             self.in_planes, self.planes, self.stride, self.nsample, name="down"
         )(pts, train)
+        # one kNN table per stage: coords are fixed after the down step
+        idx, dist2 = jax.vmap(
+            lambda q, r, m: knn(q, r, self.nsample, ref_mask=m)
+        )(pts.coord, pts.coord, pts.mask)
+        nbr = (idx, jnp.isfinite(dist2) & pts.mask[..., None])
         for i in range(self.blocks):
             pts = Bottleneck(
                 self.planes, self.planes, SHARE_PLANES, self.nsample,
                 name=f"block{i}",
-            )(pts, train)
+            )(pts, train, nbr)
         return pts
 
 
@@ -55,15 +64,23 @@ class DecoderStage(nn.Module):
 
     @nn.compact
     def __call__(self, pts: Points, coarse=None, train: bool = True) -> Points:
+        import jax
+
+        from ...ops.geometry import knn
+
         feat = TransitionUp(
             self.in_planes, None if self.is_head else self.planes, name="up"
         )(pts, coarse, train)
         pts = Points(pts.coord, feat, pts.mask)
+        idx, dist2 = jax.vmap(
+            lambda q, r, m: knn(q, r, self.nsample, ref_mask=m)
+        )(pts.coord, pts.coord, pts.mask)
+        nbr = (idx, jnp.isfinite(dist2) & pts.mask[..., None])
         for i in range(self.blocks):
             pts = Bottleneck(
                 self.planes, self.planes, SHARE_PLANES, self.nsample,
                 name=f"block{i}",
-            )(pts, train)
+            )(pts, train, nbr)
         return pts
 
 
