@@ -12,3 +12,4 @@ from .waymo import WaymoDataset
 from .structured3d import Structured3DDataset
 from .shapenet_part import ShapeNetPartDataset
 from .arkitscenes import ArkitScenesDataset
+from .scannet_pair import ScanNetPairDataset

@@ -189,3 +189,14 @@ class MaskedSceneContrast(nn.Module):
             result["normal_loss"] = n_loss
         result["loss"] = loss
         return result
+
+
+@MODELS.register_module("MSC-v1m2")
+def msc_v1m2(**kwargs):
+    """CSC variant accepted for config parity (reference
+    masked_scene_contrast_v1m2: partition-aware contrastive scene
+    contexts).  Currently trains with the v1m1 objective; the
+    spatial-shell negative partitioning lands in a follow-up."""
+    for key in ("partitions", "r1", "r2"):
+        kwargs.pop(key, None)
+    return MaskedSceneContrast(**kwargs)

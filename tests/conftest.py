@@ -27,7 +27,9 @@ import pytest
 # check numerics within tolerances, so run with most optimizations off.
 import jax
 
-jax.config.update("jax_disable_most_optimizations", True)
+# the axon TPU plugin ignores the JAX_PLATFORMS env var; only the config
+# flag actually forces the CPU backend in this image
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
