@@ -155,6 +155,35 @@ class TesterBase:
             if hasattr(v, "ndim") and v.ndim >= 2
         }
 
+    def write_submit(self, save_path, data_name, pred):
+        """Per-dataset benchmark submission writers
+        (reference test.py:320-381)."""
+        ds_type = self.cfg.data.test.type
+        if ds_type in ("ScanNetDataset", "ScanNet200Dataset"):
+            submit_dir = make_dirs(os.path.join(save_path, "submit"))
+            np.savetxt(
+                os.path.join(submit_dir, f"{data_name}.txt"),
+                self.test_dataset.class2id[pred].reshape(-1, 1),
+                fmt="%d",
+            )
+        elif ds_type == "SemanticKITTIDataset":
+            sequence_name, frame_name = data_name.split("_")
+            submit_dir = make_dirs(os.path.join(
+                save_path, "submit", "sequences", sequence_name, "predictions"
+            ))
+            inv = self.test_dataset.learning_map_inv
+            raw = np.vectorize(inv.__getitem__)(pred.astype(np.int64))
+            raw.astype(np.uint32).tofile(
+                os.path.join(submit_dir, f"{frame_name}.label")
+            )
+        elif ds_type == "NuScenesDataset":
+            submit_dir = make_dirs(os.path.join(
+                save_path, "submit", "lidarseg", "test"
+            ))
+            (pred + 1).astype(np.uint8).tofile(
+                os.path.join(submit_dir, f"{data_name}_lidarseg.bin")
+            )
+
     def scene_indices(self):
         return range(comm.get_rank(), len(self.test_dataset), comm.get_world_size())
 
@@ -218,6 +247,7 @@ class SemSegTester(TesterBase):
                 f"{segment.size} Batch {batch_time.val:.3f} "
                 f"({batch_time.avg:.3f}) Accuracy {acc:.4f} mIoU {iou:.4f}"
             )
+            self.write_submit(save_path, data_name, pred)
 
         logger.info("Syncing ...")
         gathered = comm.gather(record, dst=0)
@@ -400,12 +430,7 @@ class OpenSegTester(TesterBase):
                 f"auroc {auroc if auroc is None else format(auroc, '.4f')} "
                 f"({auroc_meter.avg:.4f})"
             )
-            if cfg.data.test.type in ("ScanNetDataset", "ScanNet200Dataset"):
-                np.savetxt(
-                    os.path.join(save_path, "submit", f"{data_name}.txt"),
-                    self.test_dataset.class2id[pred].reshape([-1, 1]),
-                    fmt="%d",
-                )
+            self.write_submit(save_path, data_name, pred)
 
         logger.info("Syncing ...")
         gathered = comm.gather(record, dst=0)
