@@ -74,16 +74,18 @@ int64_t voxel_unique(const uint64_t* keys, int64_t n, int64_t* inverse,
     return num_unique;
 }
 
-// FNV-1a hash of integer voxel coordinates (matches transform.fnv_hash_vec
-// semantics: 64-bit FNV over the 3 int32 coords of each row)
+// 64-bit FNV hash of integer voxel coordinates, bit-identical to
+// transform.fnv_hash_vec (FNV-1 order: multiply then xor, and each int32
+// coordinate widens through uint64 like numpy's uint64 cast)
 void fnv_hash_rows(const int32_t* grid, int64_t n, uint64_t* out) {
     const uint64_t kBasis = 14695981039346656037ULL;
     const uint64_t kPrime = 1099511628211ULL;
     for (int64_t i = 0; i < n; ++i) {
         uint64_t h = kBasis;
         for (int64_t d = 0; d < 3; ++d) {
-            h ^= static_cast<uint64_t>(static_cast<uint32_t>(grid[i * 3 + d]));
             h *= kPrime;
+            h ^= static_cast<uint64_t>(
+                static_cast<int64_t>(grid[i * 3 + d]));
         }
         out[i] = h;
     }
