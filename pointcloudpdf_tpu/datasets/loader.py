@@ -16,6 +16,27 @@ from typing import Callable, Iterator, Optional
 import numpy as np
 
 
+class Subset:
+    """A fixed index view over a dataset (torch.utils.data.Subset parity,
+    used by OpenSegTrainer's train_subsampling_ratio, reference
+    engines/train.py:428-436)."""
+
+    def __init__(self, dataset, indices):
+        self.dataset = dataset
+        self.indices = np.asarray(indices, np.int64)
+
+    def __len__(self) -> int:
+        return len(self.indices)
+
+    def __getitem__(self, i):
+        return self.dataset[int(self.indices[i])]
+
+    def __getattr__(self, name):
+        # transparent passthrough for dataset attributes (class names,
+        # split metadata) that hooks/testers read off the train set
+        return getattr(self.dataset, name)
+
+
 class DataLoader:
     def __init__(
         self,

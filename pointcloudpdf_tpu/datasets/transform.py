@@ -360,32 +360,33 @@ class ElasticDistortion:
 
     @staticmethod
     def distort(coords, granularity, magnitude):
-        """Displace coords with a tri-axis blurred noise grid, trilinearly
-        interpolated (reference transform.py:734-776 semantics)."""
-        import scipy.interpolate
-        import scipy.ndimage
+        """Displace coords with a smoothed random vector field sampled on a
+        granularity-spaced lattice, trilinearly interpolated at the point
+        locations (reference transform.py:734-776 semantics)."""
+        from scipy.ndimage import map_coordinates, uniform_filter1d
 
-        coords_min = coords.min(0)
-        noise_dim = ((coords - coords_min).max(0) // granularity).astype(int) + 3
-        noise = np.random.randn(*noise_dim, 3).astype(np.float32)
+        lo = coords.min(0)
+        extent = (coords - lo).max(0)
+        dims = (extent // granularity).astype(int) + 3
+        field = np.random.randn(*dims, 3).astype(np.float32)
+        # two rounds of a 3-tap box blur along each spatial axis
         for _ in range(2):
-            for axis in range(3):
-                kernel_shape = [1, 1, 1, 1]
-                kernel_shape[axis] = 3
-                kernel = np.ones(kernel_shape, np.float32) / 3
-                noise = scipy.ndimage.convolve(noise, kernel, mode="constant", cval=0)
-        axes = [
-            np.linspace(d_min, d_max, d)
-            for d_min, d_max, d in zip(
-                coords_min - granularity,
-                coords_min + granularity * (noise_dim - 2),
-                noise_dim,
-            )
-        ]
-        interp = scipy.interpolate.RegularGridInterpolator(
-            axes, noise, bounds_error=False, fill_value=0
+            for ax in range(3):
+                field = uniform_filter1d(
+                    field, size=3, axis=ax, mode="constant"
+                )
+        # the lattice origin sits one cell below the cloud's min corner, so
+        # every point lands strictly inside the field; trilinear sample per
+        # displacement channel
+        cell = (coords - (lo - granularity)) / granularity
+        disp = np.stack(
+            [
+                map_coordinates(field[..., c], cell.T, order=1, cval=0.0)
+                for c in range(3)
+            ],
+            axis=-1,
         )
-        return coords + interp(coords) * magnitude
+        return coords + disp * magnitude
 
     def __call__(self, data_dict):
         if "coord" in data_dict and self.distortion_params is not None:
@@ -721,13 +722,14 @@ class GridSample:
             pick = np.random.randint(0, count.max(), count.size) % count
             idx_unique = idx_sort[voxel_starts + pick]
             if "sampled_index" in data_dict:
-                # data-efficient ScanNet: always keep the labeled points
-                idx_unique = np.unique(
-                    np.append(idx_unique, data_dict["sampled_index"])
+                # data-efficient ScanNet: the labeled points must survive
+                # voxel subsampling, so union them into the kept set and
+                # re-express them as positions within it
+                labeled = np.unique(data_dict["sampled_index"])
+                idx_unique = np.union1d(idx_unique, labeled)
+                data_dict["sampled_index"] = np.searchsorted(
+                    idx_unique, labeled
                 )
-                mask = np.zeros_like(data_dict["segment"]).astype(bool)
-                mask[data_dict["sampled_index"]] = True
-                data_dict["sampled_index"] = np.where(mask[idx_unique])[0]
             if self.return_inverse:
                 inv = np.zeros_like(inverse)
                 inv[idx_sort] = inverse

@@ -57,9 +57,14 @@ class SemSegEvaluator(HookBase):
 
         def score(i, batch, input_dict, out):
             nonlocal loss_sum, loss_cnt
-            inter, union, target = batch_counts(
-                out["seg_logits"], batch["segment"], batch["mask"]
-            )
+            if "origin_coord" in input_dict:
+                inter, union, target = self._origin_counts(
+                    input_dict, out, num_classes, ignore_index
+                )
+            else:
+                inter, union, target = batch_counts(
+                    out["seg_logits"], batch["segment"], batch["mask"]
+                )
             loss = loss_fn(out["seg_logits"], batch["segment"])
             totals[0] += np.asarray(inter)
             totals[1] += np.asarray(union)
@@ -101,6 +106,37 @@ class SemSegEvaluator(HookBase):
             trainer.writer.add_scalar("val/allAcc", all_acc, epoch)
         trainer.comm_info["current_metric_value"] = m_iou
         trainer.comm_info["current_metric_name"] = "mIoU"
+
+    @staticmethod
+    def _origin_counts(input_dict, out, num_classes, ignore_index):
+        """Re-project voxel predictions to the original full-resolution
+        points with a 1-NN lookup, then score against ``origin_segment``
+        (the reference's "Interp." eval, hooks/evaluator.py:512-520).
+
+        Runs on host (cKDTree): origin point counts vary per scene, so a
+        jitted kNN would recompile every batch.
+        """
+        from scipy.spatial import cKDTree
+
+        from ...utils.misc import intersection_and_union_np
+
+        pred = np.asarray(jax.device_get(out["seg_logits"])).argmax(-1)
+        coord = np.asarray(input_dict["coord"])
+        counts = np.asarray(input_dict["count"]).reshape(-1)
+        ocoord = np.asarray(input_dict["origin_coord"])
+        oseg = np.asarray(input_dict["origin_segment"])
+        if ocoord.ndim == 2:
+            ocoord, oseg = ocoord[None], oseg[None]
+        totals = np.zeros((3, num_classes), np.float64)
+        for b in range(pred.shape[0]):
+            n = int(counts[b])
+            _, nn = cKDTree(coord[b, :n]).query(ocoord[b], k=1)
+            re_pred = pred[b, :n][nn]
+            i, u, t = intersection_and_union_np(
+                re_pred, oseg[b].reshape(-1), num_classes, ignore_index
+            )
+            totals += np.stack([i, u, t])
+        return totals[0], totals[1], totals[2]
 
     def after_train(self):
         self.trainer.logger.info(

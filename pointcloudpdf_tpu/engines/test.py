@@ -609,10 +609,12 @@ class IncrSegTester(TesterBase):
     (reference test.py:512-894)."""
 
     def __init__(self, cfg, **kwargs):
-        super().__init__(cfg, **kwargs)
         from ..incr_learners import build_incremental_learner
 
+        # built before super().__init__ so build_model (called there) can
+        # reuse this single learner instead of constructing a second one
         self.incr_learner = build_incremental_learner(cfg.incremental_learner)
+        super().__init__(cfg, **kwargs)
         self.remap = dict(cfg.incr_label_remap)
         self.base_num_classes = cfg.data.num_classes
         self.remap_num_classes = self.base_num_classes + len(self.remap)
@@ -627,13 +629,8 @@ class IncrSegTester(TesterBase):
         ) | selected_mask(self.incr_label_idx, self.remap_num_classes)
 
     def build_model(self):
-        # the tested model is the student (built lazily in __init__ order:
-        # TesterBase builds this before incr_learner exists)
-        from ..incr_learners import build_incremental_learner
-
-        return build_incremental_learner(
-            self.cfg.incremental_learner
-        ).model
+        # the tested model is the student of the learner built in __init__
+        return self.incr_learner.model
 
     def checkpoint_model_state(self):
         state = self.load_checkpoint_payload()["state"]

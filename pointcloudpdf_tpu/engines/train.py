@@ -390,6 +390,26 @@ class OpenSegTrainer(Trainer):
             input_dict["segment_pseudo"] = input_dict["segment"]
         return super().device_batch(input_dict)
 
+    # -- data ------------------------------------------------------------------
+    def build_train_loader(self):
+        loader = super().build_train_loader()
+        # optional random subsampling of the train scenes (reference
+        # engines/train.py:428-436, train_subsampling_ratio)
+        ratio = self.cfg.get("train_subsampling_ratio", -1.0)
+        if ratio > 0.0:
+            from ..datasets.loader import Subset
+
+            n = len(loader.dataset)
+            keep = int(ratio * n)
+            rng = np.random.RandomState(self.cfg.get("seed") or 0)
+            picked = np.sort(rng.permutation(n)[:keep])
+            loader.dataset = Subset(loader.dataset, picked)
+            self.logger.info(
+                f"Train subsampling: kept {keep}/{n} scenes "
+                f"(ratio={ratio})"
+            )
+        return loader
+
     # -- state ----------------------------------------------------------------
     def _init_variables(self, batch: Dict, rng):
         variables = jax.jit(functools.partial(self.model.init, train=True))(
@@ -738,6 +758,15 @@ class MultiDatasetTrainer(Trainer):
     def __init__(self, cfg):
         super().__init__(cfg)
         self._cond_steps: Dict[str, Any] = {}
+        # capability flag: does the model's __call__ accept a `condition`
+        # kwarg (PPT/PDNorm models do, plain segmentors don't)?  Decided
+        # once by signature inspection — never by catching TypeError inside
+        # the traced function, which would swallow unrelated errors.
+        import inspect
+
+        self._model_takes_condition = "condition" in inspect.signature(
+            type(self.model).__call__
+        ).parameters
 
     def build_train_loader(self):
         from ..datasets.loader import MultiDatasetDataloader
@@ -761,23 +790,20 @@ class MultiDatasetTrainer(Trainer):
     def _make_train_step_for(self, condition):
         model = self.model
         tx = self.tx
+        cond_kwargs = (
+            {"condition": condition} if self._model_takes_condition else {}
+        )
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, batch: Dict, rng):
             def loss_fn(params):
                 variables = {"params": params,
                              "batch_stats": state.batch_stats}
-                try:
-                    out, mutated = model.apply(
-                        variables, batch, train=True,
-                        mutable=["batch_stats"], rngs={"dropout": rng},
-                        condition=condition,
-                    )
-                except TypeError:
-                    out, mutated = model.apply(
-                        variables, batch, train=True,
-                        mutable=["batch_stats"], rngs={"dropout": rng},
-                    )
+                out, mutated = model.apply(
+                    variables, batch, train=True,
+                    mutable=["batch_stats"], rngs={"dropout": rng},
+                    **cond_kwargs,
+                )
                 loss, parts = self.compute_loss(out, batch)
                 return loss, (mutated["batch_stats"], parts)
 
@@ -828,19 +854,20 @@ class MultiDatasetTrainer(Trainer):
         model = self.model
         cache: Dict[Any, Any] = {}
 
+        takes_condition = self._model_takes_condition
+
         def eval_step(state: TrainState, batch: Dict):
             cond = getattr(self, "_current_condition", None)
             if cond not in cache:
-                def apply_fn(s, b, _cond=cond):
+                kw = (
+                    {"condition": cond}
+                    if takes_condition and cond is not None else {}
+                )
+
+                def apply_fn(s, b, _kw=kw):
                     variables = {"params": s.params,
                                  "batch_stats": s.batch_stats}
-                    if _cond is None:
-                        return model.apply(variables, b, train=False)
-                    try:
-                        return model.apply(variables, b, train=False,
-                                           condition=_cond)
-                    except TypeError:
-                        return model.apply(variables, b, train=False)
+                    return model.apply(variables, b, train=False, **_kw)
 
                 cache[cond] = jax.jit(apply_fn)
             return cache[cond](state, batch)

@@ -90,6 +90,23 @@ class TestGridSample:
         covered = np.concatenate([p["index"] for p in parts])
         assert set(covered.tolist()) == set(range(500))
 
+    def test_sampled_index_survives_and_points_at_labels(self):
+        # data-efficient ScanNet: labeled points must survive voxel
+        # subsampling, and sampled_index must re-index into the kept set
+        set_seed(2)
+        d = make_sample(1000)
+        labeled = np.array([3, 500, 999, 42])
+        d["sampled_index"] = labeled.copy()
+        labels_before = d["segment"][labeled].copy()
+        gs = TRANSFORMS.build(
+            dict(type="GridSample", grid_size=0.5, mode="train",
+                 keys=("coord", "color", "segment"))
+        )
+        out = gs(d)
+        picked = out["segment"][out["sampled_index"]]
+        np.testing.assert_array_equal(np.sort(picked), np.sort(labels_before))
+        assert out["sampled_index"].max() < out["coord"].shape[0]
+
     def test_hashes_unique_per_voxel(self, rng):
         grid = rng.randint(0, 50, (1000, 3))
         for hasher in (fnv_hash_vec, ravel_hash_vec):
@@ -97,6 +114,31 @@ class TestGridSample:
             _, first_idx = np.unique(keys, return_index=True)
             vox = np.unique(grid, axis=0)
             assert len(first_idx) == len(vox)
+
+
+class TestElasticDistortion:
+    def test_displaces_without_blowup(self):
+        set_seed(3)
+        d = make_sample(400)
+        orig = d["coord"].copy()
+        out = TRANSFORMS.build(
+            dict(type="ElasticDistortion",
+                 distortion_params=[[0.2, 0.4], [0.8, 1.6]])
+        )(d)
+        assert out["coord"].shape == orig.shape
+        disp = np.linalg.norm(out["coord"] - orig, axis=-1)
+        assert np.all(np.isfinite(out["coord"]))
+        # bounded: the blurred unit-normal field times magnitude stays small
+        assert disp.max() < 5.0
+
+    def test_zero_magnitude_is_identity(self):
+        set_seed(3)
+        d = make_sample(100)
+        orig = d["coord"].copy()
+        out = TRANSFORMS.build(
+            dict(type="ElasticDistortion", distortion_params=[[0.5, 0.0]])
+        )(d)
+        np.testing.assert_allclose(out["coord"], orig, atol=1e-7)
 
 
 class TestSphereCrop:
