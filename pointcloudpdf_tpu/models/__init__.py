@@ -12,6 +12,7 @@ from . import context_aware_classifier  # registers CAC-v1m1
 from . import masked_scene_contrast  # registers MSC-v1m1
 from . import point_prompt_training  # registers PPT-v1m1
 from . import oacnns                 # registers OACNNs
+from . import spvcnn                 # registers SPVCNN
 from . import octformer              # registers OctFormer-v1m1
 from . import swin3d                 # registers Swin3D-v1m1
 from .utils.structure import Points

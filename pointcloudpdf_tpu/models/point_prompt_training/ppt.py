@@ -110,8 +110,75 @@ class PointPromptTraining(nn.Module):
         return result
 
     def _backbone_forward(self, data, train, condition):
-        """Pass condition through to PDNorm-aware backbones."""
-        try:
+        """Pass condition through to PDNorm-aware backbones (capability
+        decided by signature inspection, not by swallowing TypeError)."""
+        import inspect
+
+        takes = "condition" in inspect.signature(
+            type(self.backbone_module).__call__
+        ).parameters
+        if takes:
             return self.backbone_module(data, train=train, condition=condition)
-        except TypeError:
-            return self.backbone_module(data, train=train)
+        return self.backbone_module(data, train=train)
+
+
+@MODELS.register_module("PPT-v1m2")
+class PointPromptTrainingV2(nn.Module):
+    """PPT with a decoupled per-dataset segmentation head.
+
+    Reference: point_prompt_training_v1m2_decoupled.py:18-81 — instead of
+    the shared language-guided classifier, each dataset condition owns a
+    plain Dense head over the PDNorm-conditioned backbone features.  The
+    condition is a static call argument (one executable per dataset).
+    """
+
+    backbone: Optional[Any] = None
+    criteria: Optional[Any] = None
+    backbone_out_channels: int = 96
+    context_channels: int = 256
+    conditions: Sequence[str] = ("Structured3D", "ScanNet", "S3DIS")
+    num_classes: Sequence[int] = (25, 20, 13)
+    backbone_mode: bool = False
+
+    def setup(self):
+        assert len(self.conditions) == len(self.num_classes)
+        self.backbone_module = build_model(dict(self.backbone))
+        self.embedding_table = nn.Embed(
+            len(self.conditions), self.context_channels,
+            name="embedding_table",
+        )
+        self.seg_heads = [
+            nn.Dense(ncls, name=f"seg_head_{i}")
+            for i, ncls in enumerate(self.num_classes)
+        ]
+
+    def __call__(self, input_dict: Dict, train: bool = True,
+                 condition: Optional[str] = None) -> Dict:
+        condition = condition or input_dict.get("condition_name")
+        assert condition in self.conditions, condition
+        ci = list(self.conditions).index(condition)
+        context = self.embedding_table(jnp.asarray([ci]))
+
+        data = dict(input_dict)
+        data["context"] = context
+        import inspect
+
+        takes = "condition" in inspect.signature(
+            type(self.backbone_module).__call__
+        ).parameters
+        if takes:
+            out = self.backbone_module(data, train=train, condition=condition)
+        else:
+            out = self.backbone_module(data, train=train)
+        feat = out[0] if isinstance(out, tuple) else out
+        if self.backbone_mode:
+            return feat
+        # all heads must be created for a condition-independent param tree;
+        # only the active one contributes to the output
+        logits = [head(feat) for head in self.seg_heads]
+        seg_logits = logits[ci]
+        result = dict(seg_logits=seg_logits)
+        if "segment" in input_dict:
+            criteria = build_criteria(self.criteria)
+            result["loss"] = criteria(seg_logits, input_dict["segment"])
+        return result

@@ -36,16 +36,18 @@ class GroupedVectorAttention(nn.Module):
     qkv_bias: bool = True
     pe_multiplier: bool = False
     pe_bias: bool = True
+    norm: Optional[object] = None
 
     @nn.compact
-    def __call__(self, feat, coord, ref_idx, ref_mask, mask, train: bool):
+    def __call__(self, feat, coord, ref_idx, ref_mask, mask, train: bool,
+                 context=None):
         c = self.embed_channels
         g = self.groups
-        bn = MaskedBatchNorm
+        bn = self.norm or MaskedBatchNorm
 
         def mlp2(x, m, width, name):
             y = nn.Dense(width, name=f"{name}_fc1")(x)
-            y = bn(width, name=f"{name}_bn")(y, m, train)
+            y = bn(width, name=f"{name}_bn")(y, m, train, context)
             y = nn.relu(y)
             return y
 
@@ -65,20 +67,20 @@ class GroupedVectorAttention(nn.Module):
 
         if self.pe_multiplier:
             pem = nn.Dense(c, name="pem_fc1")(pos)
-            pem = bn(c, name="pem_bn")(pem, nmask, train)
+            pem = bn(c, name="pem_bn")(pem, nmask, train, context)
             pem = nn.relu(pem)
             pem = nn.Dense(c, name="pem_fc2")(pem)
             rel = rel * pem
         if self.pe_bias:
             peb = nn.Dense(c, name="peb_fc1")(pos)
-            peb = bn(c, name="peb_bn")(peb, nmask, train)
+            peb = bn(c, name="peb_bn")(peb, nmask, train, context)
             peb = nn.relu(peb)
             peb = nn.Dense(c, name="peb_fc2")(peb)
             rel = rel + peb
             v_g = v_g + peb
 
         w = nn.Dense(g, name="we_fc1")(rel)
-        w = bn(g, name="we_bn")(w, nmask, train)
+        w = bn(g, name="we_bn")(w, nmask, train, context)
         w = nn.relu(w)
         w = nn.Dense(g, name="we_fc2")(w)             # (B, N, S, G)
         w = masked_softmax(w, nmask[..., None], axis=2)
@@ -98,22 +100,25 @@ class Block(nn.Module):
     pe_multiplier: bool = False
     pe_bias: bool = True
     drop_path: float = 0.0
+    norm: Optional[object] = None
 
     @nn.compact
-    def __call__(self, feat, coord, ref_idx, ref_mask, mask, train: bool):
+    def __call__(self, feat, coord, ref_idx, ref_mask, mask, train: bool,
+                 context=None):
         c = self.embed_channels
+        bn = self.norm or MaskedBatchNorm
         identity = feat
         y = nn.Dense(c, use_bias=False, name="fc1")(feat)
-        y = MaskedBatchNorm(c, name="norm1")(y, mask, train)
+        y = bn(c, name="norm1")(y, mask, train, context)
         y = nn.relu(y)
         y = GroupedVectorAttention(
             c, self.groups, self.qkv_bias, self.pe_multiplier, self.pe_bias,
-            name="attn",
-        )(y, coord, ref_idx, ref_mask, mask, train)
-        y = MaskedBatchNorm(c, name="norm2")(y, mask, train)
+            self.norm, name="attn",
+        )(y, coord, ref_idx, ref_mask, mask, train, context)
+        y = bn(c, name="norm2")(y, mask, train, context)
         y = nn.relu(y)
         y = nn.Dense(c, use_bias=False, name="fc3")(y)
-        y = MaskedBatchNorm(c, name="norm3")(y, mask, train)
+        y = bn(c, name="norm3")(y, mask, train, context)
         if self.drop_path > 0:
             keep = 1.0 - self.drop_path
             if train:
@@ -137,9 +142,10 @@ class BlockSequence(nn.Module):
     pe_multiplier: bool = False
     pe_bias: bool = True
     drop_path: float = 0.0
+    norm: Optional[object] = None
 
     @nn.compact
-    def __call__(self, feat, coord, mask, train: bool):
+    def __call__(self, feat, coord, mask, train: bool, context=None):
         idx, dist2 = jax.vmap(
             lambda c, m: knn(c, c, self.neighbours, ref_mask=m)
         )(coord, mask)
@@ -148,8 +154,8 @@ class BlockSequence(nn.Module):
             feat = Block(
                 self.embed_channels, self.groups, self.qkv_bias,
                 self.pe_multiplier, self.pe_bias, self.drop_path,
-                name=f"block{i}",
-            )(feat, coord, idx, ref_mask, mask, train)
+                self.norm, name=f"block{i}",
+            )(feat, coord, idx, ref_mask, mask, train, context)
         return feat
 
 
@@ -160,12 +166,14 @@ class GridPool(nn.Module):
     in_channels: int
     out_channels: int
     grid_size: float
+    norm: Optional[object] = None
 
     @nn.compact
-    def __call__(self, feat, coord, mask, train: bool):
+    def __call__(self, feat, coord, mask, train: bool, context=None):
         b, n = mask.shape
+        bn = self.norm or MaskedBatchNorm
         y = nn.Dense(self.out_channels, use_bias=False, name="fc")(feat)
-        y = MaskedBatchNorm(self.out_channels, name="norm")(y, mask, train)
+        y = bn(self.out_channels, name="norm")(y, mask, train, context)
         y = nn.relu(y)
 
         start = jnp.min(
@@ -206,17 +214,20 @@ class UnpoolWithSkip(nn.Module):
     in_channels: int
     skip_channels: int
     out_channels: int
+    norm: Optional[object] = None
 
     @nn.compact
-    def __call__(self, feat, mask, skip_feat, skip_mask, c2p, train: bool):
+    def __call__(self, feat, mask, skip_feat, skip_mask, c2p, train: bool,
+                 context=None):
+        bn = self.norm or MaskedBatchNorm
         y = nn.Dense(self.out_channels, name="proj_fc")(feat)
-        y = MaskedBatchNorm(self.out_channels, name="proj_bn")(y, mask, train)
+        y = bn(self.out_channels, name="proj_bn")(y, mask, train, context)
         y = nn.relu(y)
         up = jax.vmap(lambda f, i: f[jnp.maximum(i, 0)])(y, c2p)
         up = jnp.where((c2p >= 0)[..., None], up, 0.0)
         sk = nn.Dense(self.out_channels, name="skip_fc")(skip_feat)
-        sk = MaskedBatchNorm(self.out_channels, name="skip_bn")(
-            sk, skip_mask, train
+        sk = bn(self.out_channels, name="skip_bn")(
+            sk, skip_mask, train, context
         )
         sk = nn.relu(sk)
         out = up + sk
@@ -247,27 +258,49 @@ class PointTransformerV2(nn.Module):
     drop_path_rate: float = 0.0
     enable_checkpoint: bool = False
     unpool_backend: str = "map"
+    # PDNorm knobs (PT-v2m3, reference point_transformer_v2m3_pdnorm.py):
+    # non-empty ``conditions`` swaps every BN for per-dataset PDNorm
+    conditions: Sequence[str] = ()
+    norm_decouple: bool = True
+    norm_adaptive: bool = False
+    norm_affine: bool = True
+    context_channels: int = 256
+    zero_init: bool = True
 
     @nn.compact
-    def __call__(self, input_dict: Dict, train: bool = True):
+    def __call__(self, input_dict: Dict, train: bool = True,
+                 condition: Optional[str] = None):
         coord = input_dict["coord"].astype(jnp.float32)
         feat = input_dict["feat"]
         mask = input_dict["mask"]
         num_stages = len(self.enc_depths)
+        if self.conditions:
+            from ..sparse_unet.spconv_unet import _bn_factory
+
+            condition = condition or input_dict.get("condition_name")
+            norm = _bn_factory(
+                tuple(self.conditions), condition, self.norm_decouple,
+                self.norm_adaptive, self.norm_affine, self.context_channels,
+                self.zero_init,
+            )
+            ctx = input_dict.get("context")
+        else:
+            norm, ctx = None, None
+        bn = norm or MaskedBatchNorm
 
         # patch embedding
         y = nn.Dense(self.patch_embed_channels, use_bias=False,
                      name="patch_proj")(feat)
-        y = MaskedBatchNorm(self.patch_embed_channels, name="patch_bn")(
-            y, mask, train
+        y = bn(self.patch_embed_channels, name="patch_bn")(
+            y, mask, train, ctx
         )
         y = nn.relu(y)
         y = BlockSequence(
             self.patch_embed_depth, self.patch_embed_channels,
             self.patch_embed_groups, self.patch_embed_neighbours,
             self.attn_qkv_bias, self.pe_multiplier, self.pe_bias,
-            name="patch_blocks",
-        )(y, coord, mask, train)
+            norm=norm, name="patch_blocks",
+        )(y, coord, mask, train, ctx)
 
         total_blocks = sum(self.enc_depths) + sum(self.dec_depths)
         dp_rates = [
@@ -281,15 +314,15 @@ class PointTransformerV2(nn.Module):
         for s in range(num_stages):
             y, p_coord, p_mask, c2p = GridPool(
                 in_ch, self.enc_channels[s], self.grid_sizes[s],
-                name=f"enc{s}_pool",
-            )(skips[-1][0], skips[-1][1], skips[-1][2], train)
+                norm=norm, name=f"enc{s}_pool",
+            )(skips[-1][0], skips[-1][1], skips[-1][2], train, ctx)
             dp = dp_rates[sum(self.enc_depths[:s])]
             y = BlockSequence(
                 self.enc_depths[s], self.enc_channels[s], self.enc_groups[s],
                 self.enc_neighbours[s], self.attn_qkv_bias,
                 self.pe_multiplier, self.pe_bias, dp,
-                name=f"enc{s}_blocks",
-            )(y, p_coord, p_mask, train)
+                norm=norm, name=f"enc{s}_blocks",
+            )(y, p_coord, p_mask, train, ctx)
             pools.append(c2p)
             skips.append((y, p_coord, p_mask))
             in_ch = self.enc_channels[s]
@@ -299,21 +332,21 @@ class PointTransformerV2(nn.Module):
             skip_feat, skip_coord, skip_mask = skips.pop()
             y = UnpoolWithSkip(
                 y.shape[-1], skip_feat.shape[-1], self.dec_channels[s],
-                name=f"dec{s}_unpool",
-            )(y, cur_mask, skip_feat, skip_mask, pools[s], train)
+                norm=norm, name=f"dec{s}_unpool",
+            )(y, cur_mask, skip_feat, skip_mask, pools[s], train, ctx)
             dp = dp_rates[sum(self.enc_depths) + sum(self.dec_depths[:s])]
             y = BlockSequence(
                 self.dec_depths[s], self.dec_channels[s], self.dec_groups[s],
                 self.dec_neighbours[s], self.attn_qkv_bias,
                 self.pe_multiplier, self.pe_bias, dp,
-                name=f"dec{s}_blocks",
-            )(y, skip_coord, skip_mask, train)
+                norm=norm, name=f"dec{s}_blocks",
+            )(y, skip_coord, skip_mask, train, ctx)
             cur_coord, cur_mask = skip_coord, skip_mask
 
         if self.num_classes > 0:
             h = nn.Dense(self.dec_channels[0], name="seg_fc1")(y)
-            h = MaskedBatchNorm(self.dec_channels[0], name="seg_bn")(
-                h, cur_mask, train
+            h = bn(self.dec_channels[0], name="seg_bn")(
+                h, cur_mask, train, ctx
             )
             h = nn.relu(h)
             logits = nn.Dense(self.num_classes, name="seg_fc2")(h)
@@ -326,4 +359,13 @@ def point_transformer_v2m1(**kwargs):
     """v2m1 registered for config parity: same architecture family with
     pe_multiplier enabled by default (reference point_transformer_v2m1)."""
     kwargs.setdefault("pe_multiplier", True)
+    return PointTransformerV2(**kwargs)
+
+
+@MODELS.register_module("PT-v2m3")
+def point_transformer_v2m3(**kwargs):
+    """PDNorm PT-v2 (reference point_transformer_v2m3_pdnorm.py): every
+    BatchNorm becomes a per-dataset decoupled PDMaskedBatchNorm driven by
+    the static dataset ``condition`` (and optionally the PPT context)."""
+    kwargs.setdefault("conditions", ("ScanNet", "S3DIS", "Structured3D"))
     return PointTransformerV2(**kwargs)

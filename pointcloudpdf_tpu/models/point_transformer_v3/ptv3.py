@@ -17,9 +17,11 @@ TPU-shaped formulation; this implementation keeps it fully static:
 - grid pooling = ``unique_parents`` on grid//2 with segment max/mean,
   unpooling reads the child→parent map backwards.
 
-RPE and flash-specific switches are intentionally absent (reference
-defaults run with flash, which ignores RPE); drop_path is stochastic
-depth per sample.
+``enable_rpe`` adds the reference's learned grid-offset bias tables to
+each patch's attention logits (reference RPE :29-49 — the S3DIS flagship
+config is the -rpe variant); flash-specific switches are accepted but
+moot (the masked dense patch attention is already the fused TPU path);
+drop_path is stochastic depth per sample.
 """
 
 from __future__ import annotations
@@ -86,6 +88,34 @@ def _sort_orders(grid, mask, orders):
     return jnp.stack(perms), jnp.stack(invs)
 
 
+class RPE(nn.Module):
+    """Relative-position bias over integer grid offsets.
+
+    Re-expression of the reference RPE table
+    (point_transformer_v3m1_base.py:29-49): a learned (3*rpe_num, H)
+    table indexed by the per-axis clamped grid delta; the three axis
+    biases sum into one (…, H) bias per key pair.
+    """
+
+    patch_size: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, rel: jnp.ndarray) -> jnp.ndarray:
+        pos_bnd = int((4 * self.patch_size) ** (1 / 3) * 2)
+        rpe_num = 2 * pos_bnd + 1
+        table = self.param(
+            "rpe_table", _trunc02, (3 * rpe_num, self.num_heads)
+        )
+        idx = (
+            jnp.clip(rel, -pos_bnd, pos_bnd)
+            + pos_bnd
+            + jnp.arange(3, dtype=rel.dtype) * rpe_num
+        )                                             # (B, P, K, K, 3)
+        bias = jnp.take(table, idx, axis=0).sum(-2)   # (B, P, K, K, H)
+        return jnp.moveaxis(bias, -1, 2)              # (B, P, H, K, K)
+
+
 class SerializedAttention(nn.Module):
     """Masked dense MHA over curve-order patches (reference :51-223)."""
 
@@ -93,9 +123,10 @@ class SerializedAttention(nn.Module):
     num_heads: int
     patch_size: int
     qkv_bias: bool = True
+    enable_rpe: bool = False
 
     @nn.compact
-    def __call__(self, feat, order, inverse, mask, train: bool):
+    def __call__(self, feat, order, inverse, mask, train: bool, grid=None):
         b, n = mask.shape
         k = self.patch_size
         h = self.num_heads
@@ -107,9 +138,13 @@ class SerializedAttention(nn.Module):
         qkv = qkv.reshape(b, n, 3 * self.channels)
         qkv_s = jnp.take_along_axis(qkv, order[..., None], axis=1)
         mask_s = jnp.take_along_axis(mask, order, axis=1)
+        if self.enable_rpe:
+            grid_s = jnp.take_along_axis(grid, order[..., None], axis=1)
         if n_pad != n:
             qkv_s = jnp.pad(qkv_s, ((0, 0), (0, n_pad - n), (0, 0)))
             mask_s = jnp.pad(mask_s, ((0, 0), (0, n_pad - n)))
+            if self.enable_rpe:
+                grid_s = jnp.pad(grid_s, ((0, 0), (0, n_pad - n), (0, 0)))
         p = n_pad // k
         qkv_s = qkv_s.reshape(b, p, k, 3, h, hd)
         q, kk, v = jnp.moveaxis(qkv_s, 3, 0)          # (B, P, K, H, hd)
@@ -120,6 +155,12 @@ class SerializedAttention(nn.Module):
             "bpkhd,bpmhd->bphkm", q.astype(jnp.float32) * scale,
             kk.astype(jnp.float32),
         )
+        if self.enable_rpe:
+            g = grid_s.reshape(b, p, k, 3)
+            rel = g[:, :, :, None, :] - g[:, :, None, :, :]
+            logits = logits + RPE(
+                self.patch_size, self.num_heads, name="rpe"
+            )(rel).astype(logits.dtype)
         neg = jnp.float32(-1e9)
         logits = jnp.where(patch_mask[:, :, None, None, :], logits, neg)
         attn = jax.nn.softmax(logits, axis=-1)
@@ -142,9 +183,11 @@ class Block(nn.Module):
     mlp_ratio: float
     drop_path: float
     qkv_bias: bool = True
+    enable_rpe: bool = False
 
     @nn.compact
-    def __call__(self, feat, nbr, order, inverse, mask, train: bool):
+    def __call__(self, feat, nbr, order, inverse, mask, train: bool,
+                 grid=None):
         b, n = mask.shape
         flat_mask = mask.reshape(b * n)
         flat = feat.reshape(b * n, -1)
@@ -163,8 +206,8 @@ class Block(nn.Module):
         y = nn.LayerNorm(name="norm1")(feat)
         y = SerializedAttention(
             self.channels, self.num_heads, self.patch_size,
-            self.qkv_bias, name="attn",
-        )(y, order, inverse, mask, train)
+            self.qkv_bias, self.enable_rpe, name="attn",
+        )(y, order, inverse, mask, train, grid=grid)
         feat = shortcut + dp(
             y.reshape(b * n, -1), train
         ).reshape(b, n, -1)
@@ -197,8 +240,8 @@ class PointTransformerV3(nn.Module):
     drop_path: float = 0.3
     shuffle_orders: bool = True
     cls_mode: bool = False
-    # accepted for config parity; the dense masked path ignores them
     enable_rpe: bool = False
+    # accepted for config parity; the dense masked path ignores them
     enable_flash: bool = True
     upcast_attention: bool = True
     upcast_softmax: bool = True
@@ -283,9 +326,9 @@ class PointTransformerV3(nn.Module):
                 feat = Block(
                     self.enc_channels[s], self.enc_num_head[s],
                     self.enc_patch_size[s], self.mlp_ratio,
-                    enc_dp[base + i], self.qkv_bias,
+                    enc_dp[base + i], self.qkv_bias, self.enable_rpe,
                     name=f"enc{s}_block{i}",
-                )(feat, stage_nbr, perms[oi], invs[oi], m, train)
+                )(feat, stage_nbr, perms[oi], invs[oi], m, train, grid=g)
             skips.append((feat, dict(level)))
 
         if not self.cls_mode:
@@ -330,9 +373,9 @@ class PointTransformerV3(nn.Module):
                     feat = Block(
                         dec_channels[s], self.dec_num_head[s],
                         self.dec_patch_size[s], self.mlp_ratio,
-                        dec_dp[base + i], self.qkv_bias,
+                        dec_dp[base + i], self.qkv_bias, self.enable_rpe,
                         name=f"dec{s}_block{i}",
-                    )(feat, stage_nbr, perms[oi], invs[oi], m, train)
+                    )(feat, stage_nbr, perms[oi], invs[oi], m, train, grid=g)
             return jnp.where(level["mask"][..., None], feat, 0.0)
 
         # cls mode: features at the coarsest level; caller pools

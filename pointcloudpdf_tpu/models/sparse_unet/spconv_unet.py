@@ -24,7 +24,7 @@ masked per-sample mean pool (reference :276-280).
 from __future__ import annotations
 
 import functools
-from typing import Dict, Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -39,10 +39,25 @@ from ...ops.voxel import (
     unique_parents,
 )
 from ..builder import MODELS
-from ..norm import MaskedBatchNorm
+from ..norm import MaskedBatchNorm, PDMaskedBatchNorm
 from ..utils.structure import masked_mean
 
 _trunc02 = nn.initializers.truncated_normal(stddev=0.02)
+
+
+def _bn_factory(conditions=(), condition=None, decouple=True, adaptive=False,
+                affine=True, context_channels=256, zero_init=True):
+    """Norm constructor: plain masked BN, or per-condition PDNorm when
+    ``conditions`` is non-empty (the SpUNet-v1m3 swap,
+    reference spconv_unet_v1m3_pdnorm.py:231-268)."""
+    if conditions:
+        return functools.partial(
+            PDMaskedBatchNorm, conditions=tuple(conditions),
+            condition=condition, decouple=decouple, adaptive=adaptive,
+            affine=affine, context_channels=context_channels,
+            zero_init=zero_init, momentum=0.01, epsilon=1e-3,
+        )
+    return functools.partial(MaskedBatchNorm, momentum=0.01, epsilon=1e-3)
 
 
 class SubMConv(nn.Module):
@@ -126,10 +141,11 @@ class BasicBlock(nn.Module):
 
     in_channels: int
     embed_channels: int
+    norm: Any = None
 
     @nn.compact
-    def __call__(self, feat, nbr, mask, train: bool):
-        bn = functools.partial(MaskedBatchNorm, momentum=0.01, epsilon=1e-3)
+    def __call__(self, feat, nbr, mask, train: bool, context=None):
+        bn = self.norm or _bn_factory()
         identity = feat
         if self.in_channels != self.embed_channels:
             identity = nn.Dense(
@@ -137,18 +153,55 @@ class BasicBlock(nn.Module):
                 kernel_init=_trunc02, name="proj",
             )(feat)
             identity = bn(self.embed_channels, name="proj_bn")(
-                identity, mask, train
+                identity, mask, train, context
             )
         k = nbr.shape[-1]
         y = SubMConv(self.in_channels, self.embed_channels, k, name="conv1")(
             feat, nbr
         )
-        y = bn(self.embed_channels, name="bn1")(y, mask, train)
+        y = bn(self.embed_channels, name="bn1")(y, mask, train, context)
         y = nn.relu(y)
         y = SubMConv(self.embed_channels, self.embed_channels, k, name="conv2")(
             y, nbr
         )
-        y = bn(self.embed_channels, name="bn2")(y, mask, train)
+        y = bn(self.embed_channels, name="bn2")(y, mask, train, context)
+        y = nn.relu(y + identity)
+        return jnp.where(mask[:, None], y, 0.0)
+
+
+class BottleneckBlock(nn.Module):
+    """1-3-1 residual bottleneck (MinkowskiNet Bottleneck, expansion 4;
+    reference mink_unet.py Bottleneck — used by MinkUNet50/101)."""
+
+    in_channels: int
+    embed_channels: int
+    expansion: int = 4
+    norm: Any = None
+
+    @nn.compact
+    def __call__(self, feat, nbr, mask, train: bool, context=None):
+        bn = self.norm or _bn_factory()
+        out_channels = self.embed_channels * self.expansion
+        identity = feat
+        if self.in_channels != out_channels:
+            identity = nn.Dense(
+                out_channels, use_bias=False,
+                kernel_init=_trunc02, name="proj",
+            )(feat)
+            identity = bn(out_channels, name="proj_bn")(
+                identity, mask, train, context
+            )
+        y = nn.Dense(self.embed_channels, use_bias=False,
+                     kernel_init=_trunc02, name="conv1")(feat)
+        y = bn(self.embed_channels, name="bn1")(y, mask, train, context)
+        y = nn.relu(y)
+        y = SubMConv(self.embed_channels, self.embed_channels,
+                     nbr.shape[-1], name="conv2")(y, nbr)
+        y = bn(self.embed_channels, name="bn2")(y, mask, train, context)
+        y = nn.relu(y)
+        y = nn.Dense(out_channels, use_bias=False,
+                     kernel_init=_trunc02, name="conv3")(y)
+        y = bn(out_channels, name="bn3")(y, mask, train, context)
         y = nn.relu(y + identity)
         return jnp.where(mask[:, None], y, 0.0)
 
@@ -161,12 +214,33 @@ class SpUNet(nn.Module):
     channels: Sequence[int] = (32, 64, 128, 256, 256, 128, 96, 96)
     layers: Sequence[int] = (2, 3, 4, 6, 2, 2, 2, 2)
     cls_mode: bool = False
+    block: str = "basic"          # "basic" | "bottleneck" (MinkUNet50/101)
+    # PDNorm knobs (SpUNet-v1m3, reference spconv_unet_v1m3_pdnorm.py):
+    # non-empty ``conditions`` swaps every BN for a per-dataset decoupled
+    # PDMaskedBatchNorm; ``condition`` arrives as a static call argument
+    conditions: Sequence[str] = ()
+    norm_decouple: bool = True
+    norm_adaptive: bool = False
+    norm_affine: bool = True
+    context_channels: int = 256
+    zero_init: bool = True
 
     @nn.compact
-    def __call__(self, input_dict: Dict, train: bool = True):
+    def __call__(self, input_dict: Dict, train: bool = True,
+                 condition: Optional[str] = None):
         assert len(self.layers) % 2 == 0
         num_stages = len(self.layers) // 2
-        bn = functools.partial(MaskedBatchNorm, momentum=0.01, epsilon=1e-3)
+        if self.conditions:
+            condition = condition or input_dict.get("condition_name")
+        bn = _bn_factory(
+            tuple(self.conditions), condition, self.norm_decouple,
+            self.norm_adaptive, self.norm_affine, self.context_channels,
+            self.zero_init,
+        )
+        ctx = input_dict.get("context") if self.conditions else None
+        block_cls = (
+            BottleneckBlock if self.block == "bottleneck" else BasicBlock
+        )
 
         grid = input_dict["grid_coord"].astype(jnp.int32)   # (B, N, 3)
         feat = input_dict["feat"]                           # (B, N, C)
@@ -183,7 +257,7 @@ class SpUNet(nn.Module):
 
         y = SubMConv(self.in_channels, self.base_channels, off5.shape[0],
                      name="conv_input")(flat_feat, nbr5)
-        y = bn(self.base_channels, name="bn_input")(y, flat_mask, train)
+        y = bn(self.base_channels, name="bn_input")(y, flat_mask, train, ctx)
         y = nn.relu(y)
         y = jnp.where(flat_mask[:, None], y, 0.0)
 
@@ -209,11 +283,13 @@ class SpUNet(nn.Module):
             c2p_flat = _flatten_map(c2p)
             valid = c2p_flat >= 0
             flat_p_mask = p_mask.reshape(b * n)
-            y = SparseDownConv(enc_channels, self.channels[s],
+            y = SparseDownConv(y.shape[-1], self.channels[s],
                                name=f"down{s}")(
                 y, c2p_flat, pos, valid, b * n
             )
-            y = bn(self.channels[s], name=f"down_bn{s}")(y, flat_p_mask, train)
+            y = bn(self.channels[s], name=f"down_bn{s}")(
+                y, flat_p_mask, train, ctx
+            )
             y = nn.relu(y)
             y = jnp.where(flat_p_mask[:, None], y, 0.0)
             down_maps.append((c2p_flat, pos, valid))
@@ -225,11 +301,11 @@ class SpUNet(nn.Module):
                 )
             )
             for i in range(self.layers[s]):
-                y = BasicBlock(
-                    self.channels[s], self.channels[s],
+                y = block_cls(
+                    y.shape[-1], self.channels[s], norm=bn,
                     name=f"enc{s}_block{i}",
-                )(y, nbr3, flat_p_mask, train)
-            enc_channels = self.channels[s]
+                )(y, nbr3, flat_p_mask, train, ctx)
+            enc_channels = y.shape[-1]
             skips.append((y, flat_p_mask, nbr3))
 
         if not self.cls_mode:
@@ -244,14 +320,16 @@ class SpUNet(nn.Module):
                 y = SparseInverseConv(
                     y.shape[-1], dec_channels, name=f"up{s}"
                 )(y, c2p_flat, pos, valid)
-                y = bn(dec_channels, name=f"up_bn{s}")(y, skip_mask, train)
+                y = bn(dec_channels, name=f"up_bn{s}")(
+                    y, skip_mask, train, ctx
+                )
                 y = nn.relu(y)
                 y = jnp.concatenate([y, skip_feat], axis=-1)
                 n_blocks = self.layers[len(self.layers) - s - 1]
                 for i in range(n_blocks):
-                    y = BasicBlock(y.shape[-1], dec_channels,
-                                   name=f"dec{s}_block{i}")(
-                        y, skip_nbr, skip_mask, train
+                    y = block_cls(y.shape[-1], dec_channels, norm=bn,
+                                  name=f"dec{s}_block{i}")(
+                        y, skip_nbr, skip_mask, train, ctx
                     )
                 out_mask = skip_mask
         else:
@@ -277,73 +355,61 @@ def spunet_v1m2(**kwargs):
 
 
 @MODELS.register_module("SpUNet-v1m3")
-def spunet_v1m3(conditions=("ScanNet", "S3DIS", "Structured3D"),
-                zero_init=True, norm_decouple=True, norm_adaptive=False,
-                norm_affine=True, **kwargs):
-    """PDNorm variant accepted for PPT config parity.
-
-    The reference SpUNet-v1m3 swaps every BatchNorm for per-dataset
-    decoupled PDNorm (spconv_unet_v1m3_pdnorm.py).  This build currently
-    shares one masked BN across conditions (the PPT context embedding and
-    language head still condition the model); decoupled norms thread
-    through in a follow-up.
-    """
-    kwargs.pop("context_channels", None)
+def spunet_v1m3(**kwargs):
+    """PDNorm SpUNet (reference spconv_unet_v1m3_pdnorm.py:231-268):
+    every BatchNorm becomes a per-dataset decoupled PDMaskedBatchNorm,
+    optionally adaptive on the PPT context embedding."""
+    kwargs.setdefault("conditions", ("ScanNet", "S3DIS", "Structured3D"))
     return SpUNet(**kwargs)
 
 
-def _mink_unet(layers, channels, **kwargs):
-    kwargs.setdefault("base_channels", channels[0])
-    return SpUNet(channels=channels, layers=layers, **kwargs)
+def _mink_unet(layers, channels, block="basic", **kwargs):
+    kw = dict(layers=layers, channels=channels, block=block)
+    kw.update(kwargs)                     # config values win over the preset
+    kw.setdefault("base_channels", kw["channels"][0])
+    return SpUNet(**kw)
 
 
 # MinkUNet family: in the reference these are MinkowskiEngine residual
-# sparse-conv U-Nets (models/sparse_unet/mink_unet.py:365-440).  They are
+# sparse-conv U-Nets (models/sparse_unet/mink_unet.py:365-443).  They are
 # the same architecture class as SpUNet (sparse voxel conv encoder/decoder
 # with residual blocks), so the TPU build realises them on the identical
-# gather/GEMM/scatter stack with the Mink depth/width presets.
-@MODELS.register_module("MinkUNet14")
-def mink_unet14(**kwargs):
-    return _mink_unet((1, 1, 1, 1, 1, 1, 1, 1),
-                      (32, 64, 128, 256, 256, 128, 96, 96), **kwargs)
+# gather/GEMM/scatter stack with the Mink depth/width (PLANES) presets;
+# 50/101 use the Bottleneck (1-3-1, expansion 4) block like the reference.
+_MINK_BASE_PLANES = (32, 64, 128, 256, 256, 128, 96, 96)
 
 
-@MODELS.register_module("MinkUNet18")
-def mink_unet18(**kwargs):
-    return _mink_unet((2, 2, 2, 2, 2, 2, 2, 2),
-                      (32, 64, 128, 256, 256, 128, 96, 96), **kwargs)
+def _register_mink(name, layers, planes=_MINK_BASE_PLANES, block="basic"):
+    @MODELS.register_module(name)
+    def _factory(**kwargs):
+        kw = dict(layers=layers, channels=planes, block=block)
+        kw.update(kwargs)                 # config values win over the preset
+        return _mink_unet(**kw)
+
+    _factory.__name__ = name
+    return _factory
 
 
-@MODELS.register_module("MinkUNet34")
-def mink_unet34(**kwargs):
-    return _mink_unet((2, 3, 4, 6, 2, 2, 2, 2),
-                      (32, 64, 128, 256, 256, 128, 96, 96), **kwargs)
+# base depths (mink_unet.py:365-396)
+_L14 = (1, 1, 1, 1, 1, 1, 1, 1)
+_L18 = (2, 2, 2, 2, 2, 2, 2, 2)
+_L34 = (2, 3, 4, 6, 2, 2, 2, 2)
+_L101 = (2, 3, 4, 23, 2, 2, 2, 2)
 
-
-@MODELS.register_module("MinkUNet34C")
-def mink_unet34c(**kwargs):
-    return _mink_unet((2, 3, 4, 6, 2, 2, 2, 2),
-                      (32, 64, 128, 256, 256, 128, 96, 96), **kwargs)
-
-
-@MODELS.register_module("MinkUNet50")
-def mink_unet50(**kwargs):
-    return _mink_unet((2, 3, 4, 6, 2, 2, 2, 2),
-                      (32, 64, 128, 256, 256, 192, 192, 128), **kwargs)
-
-
-@MODELS.register_module("MinkUNet101")
-def mink_unet101(**kwargs):
-    return _mink_unet((2, 3, 4, 23, 2, 2, 2, 2),
-                      (32, 64, 128, 256, 256, 192, 192, 128), **kwargs)
-
-
-@MODELS.register_module("SPVCNN")
-def spvcnn(**kwargs):
-    """SPVCNN (reference models/spvcnn/ts_spvcnn.py:178, torchsparse):
-    sparse voxel U-Net with a point-wise residual branch; realised here
-    as the SpUNet stack (the voxel branch carries the capacity; the
-    torchsparse point branch folds into the dense padded layout)."""
-    kwargs.setdefault("channels", (32, 64, 128, 256, 256, 128, 96, 96))
-    kwargs.setdefault("layers", (2, 2, 2, 2, 2, 2, 2, 2))
-    return SpUNet(**kwargs)
+_register_mink("MinkUNet14", _L14)
+_register_mink("MinkUNet18", _L18)
+_register_mink("MinkUNet34", _L34)
+_register_mink("MinkUNet50", _L34, block="bottleneck")
+_register_mink("MinkUNet101", _L101, block="bottleneck")
+# lettered width variants (mink_unet.py:398-443); 34C's PLANES equal the
+# base PLANES in the reference, so MinkUNet34C == MinkUNet34 by design
+_register_mink("MinkUNet14A", _L14, (32, 64, 128, 256, 128, 128, 96, 96))
+_register_mink("MinkUNet14B", _L14, (32, 64, 128, 256, 128, 128, 128, 128))
+_register_mink("MinkUNet14C", _L14, (32, 64, 128, 256, 192, 192, 128, 128))
+_register_mink("MinkUNet14D", _L14, (32, 64, 128, 256, 384, 384, 384, 384))
+_register_mink("MinkUNet18A", _L18, (32, 64, 128, 256, 128, 128, 96, 96))
+_register_mink("MinkUNet18B", _L18, (32, 64, 128, 256, 128, 128, 128, 128))
+_register_mink("MinkUNet18D", _L18, (32, 64, 128, 256, 384, 384, 384, 384))
+_register_mink("MinkUNet34A", _L34, (32, 64, 128, 256, 256, 128, 96, 96))
+_register_mink("MinkUNet34B", _L34, (32, 64, 128, 256, 256, 128, 64, 32))
+_register_mink("MinkUNet34C", _L34, _MINK_BASE_PLANES)

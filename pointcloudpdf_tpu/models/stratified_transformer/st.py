@@ -335,6 +335,7 @@ class StratifiedTransformer(nn.Module):
     stem_transformer: bool = False
     kp_ball_radius: float = 0.02 * 2.5
     kp_max_neighbor: int = 34
+    mlp_ratio: float = 4.0
     # TPU-native capacities for the stratified key set
     k_local: int = 32
     k_sparse: int = 16
@@ -427,7 +428,7 @@ class StratifiedTransformer(nn.Module):
                 feat = STBlock(
                     self.channels[i], self.num_heads[i], ws,
                     self.quant_sizes[i], self.rel_query, self.rel_key,
-                    self.rel_value, dpr[base + d],
+                    self.rel_value, dpr[base + d], self.mlp_ratio,
                     name=f"layer{i}_block{d}",
                 )(feat, coord, key_idx, key_mask, mask, train)
             skips.append((feat, coord, mask))
@@ -469,3 +470,66 @@ class StratifiedTransformer(nn.Module):
         logits = nn.Dense(self.num_classes, name="cls_fc2")(y)
         logits = jnp.where(mask[..., None], logits, 0.0)
         return logits, intermediates
+
+
+@MODELS.register_module("ST-v1m2")
+def stratified_transformer_v1m2(
+    in_channels=6,
+    num_classes=13,
+    channels=(48, 96, 192, 384, 384),
+    num_heads=(6, 12, 24, 24),
+    depths=(3, 9, 3, 3),
+    window_size=(0.2, 0.4, 0.8, 1.6),
+    quant_size=(0.01, 0.02, 0.04, 0.08),
+    mlp_expend_ratio=4.0,
+    down_ratio=0.25,
+    down_num_sample=16,
+    kp_ball_radius=2.5 * 0.02,
+    kp_max_neighbor=34,
+    kp_grid_size=0.02,
+    kp_sigma=1.0,
+    drop_path_rate=0.2,
+    rel_query=True,
+    rel_key=True,
+    rel_value=True,
+    qkv_bias=True,
+    stem=True,
+    up_k=3,
+    **caps,
+):
+    """ST-v1m2 "refined" (reference stratified_transformer_v1m2_refine.py:
+    592-662): same stratified-window architecture as v1m1 with the refined
+    constructor — per-layer widths shifted one slot (``channels[i+1]``
+    drives layer ``i``), cRPE on q/k/v all enabled, an explicit MLP expand
+    ratio, and KPConv knobs renamed.  Mapped onto the shared TPU module by
+    padding one stem slot in front of the per-layer tuples so the v1m1
+    indexing (layer ``i`` reads slot ``i``, stem reads slot 0) lines up.
+    """
+    num_layers = len(depths)
+    assert len(channels) == num_layers + 1, "v1m2 channels carry a stem slot"
+    pad = lambda seq, fill: (fill,) + tuple(seq)
+    return StratifiedTransformer(
+        downsample_scale=int(round(1.0 / down_ratio)),
+        depths=pad(depths, 0),
+        channels=tuple(channels),
+        num_heads=pad(num_heads, 1),
+        window_size=pad(window_size, window_size[0]),
+        up_k=up_k,
+        grid_sizes=pad(quant_size, quant_size[0]),
+        quant_sizes=pad(quant_size, quant_size[0]),
+        rel_query=rel_query,
+        rel_key=rel_key,
+        rel_value=rel_value,
+        drop_path_rate=drop_path_rate,
+        num_layers=num_layers + 1,
+        num_classes=num_classes,
+        ratio=down_ratio,
+        k=down_num_sample,
+        prev_grid_size=kp_grid_size,
+        sigma=kp_sigma,
+        stem_transformer=not stem,
+        kp_ball_radius=kp_ball_radius,
+        kp_max_neighbor=kp_max_neighbor,
+        mlp_ratio=mlp_expend_ratio,
+        **caps,
+    )

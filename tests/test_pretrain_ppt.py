@@ -119,3 +119,93 @@ def test_ppt_conditions_compile_separately():
     assert out_sc["seg_logits"].shape[-1] == 20   # ScanNet valid classes
     assert out_s3["seg_logits"].shape[-1] == 13   # S3DIS valid classes
     assert np.isfinite(float(out_sc["loss"]))
+
+
+def test_ppt_v1m2_decoupled_heads():
+    model = build_model(
+        dict(
+            type="PPT-v1m2",
+            backbone=dict(
+                TINY_SPUNET, type="SpUNet-v1m3",
+                conditions=("Structured3D", "ScanNet", "S3DIS"),
+                norm_adaptive=True, context_channels=16,
+            ),
+            criteria=[dict(type="CrossEntropyLoss", loss_weight=1.0,
+                           ignore_index=-1)],
+            backbone_out_channels=8,
+            context_channels=16,
+            conditions=("Structured3D", "ScanNet", "S3DIS"),
+            num_classes=(25, 20, 13),
+        )
+    )
+    rng = np.random.RandomState(0)
+    batch = dict(
+        coord=jnp.asarray(rng.rand(2, 64, 3).astype(np.float32)),
+        grid_coord=jnp.asarray((rng.rand(2, 64, 3) * 20).astype(np.int32)),
+        feat=jnp.asarray(rng.rand(2, 64, 6).astype(np.float32)),
+        mask=jnp.ones((2, 64), bool),
+        segment=jnp.asarray(rng.randint(0, 5, (2, 64))),
+    )
+    import functools
+
+    variables = jax.jit(
+        functools.partial(model.init, train=True, condition="ScanNet")
+    )({"params": jax.random.PRNGKey(0)}, batch)
+    out_sc = jax.jit(
+        functools.partial(model.apply, train=False, condition="ScanNet")
+    )(variables, batch)
+    out_s3 = jax.jit(
+        functools.partial(model.apply, train=False, condition="S3DIS")
+    )(variables, batch)
+    assert out_sc["seg_logits"].shape == (2, 64, 20)
+    assert out_s3["seg_logits"].shape == (2, 64, 13)
+    assert np.isfinite(float(out_sc["loss"]))
+    # decoupled heads exist for every condition
+    names = [str(p) for p, _ in
+             jax.tree_util.tree_leaves_with_path(variables["params"])]
+    assert any("seg_head_0" in s for s in names)
+    assert any("seg_head_2" in s for s in names)
+
+
+def test_ptv2m3_pdnorm_conditions():
+    model = build_model(
+        dict(
+            type="PT-v2m3",
+            in_channels=6,
+            num_classes=5,
+            patch_embed_depth=1,
+            patch_embed_channels=8,
+            patch_embed_groups=2,
+            patch_embed_neighbours=4,
+            enc_depths=(1, 1),
+            enc_channels=(8, 16),
+            enc_groups=(2, 4),
+            enc_neighbours=(4, 4),
+            dec_depths=(1, 1),
+            dec_channels=(8, 8),
+            dec_groups=(2, 2),
+            dec_neighbours=(4, 4),
+            grid_sizes=(0.12, 0.24),
+            conditions=("ScanNet", "S3DIS"),
+            norm_adaptive=False,
+        )
+    )
+    rng = np.random.RandomState(0)
+    batch = dict(
+        coord=jnp.asarray(rng.rand(2, 48, 3).astype(np.float32)),
+        feat=jnp.asarray(rng.rand(2, 48, 6).astype(np.float32)),
+        mask=jnp.ones((2, 48), bool),
+    )
+    import functools
+
+    variables = jax.jit(
+        functools.partial(model.init, train=False, condition="ScanNet")
+    )({"params": jax.random.PRNGKey(0)}, batch)
+    # PDNorm banks are stacked per condition
+    stats = jax.tree_util.tree_leaves(variables["batch_stats"])
+    assert stats and all(s.shape[0] == 2 for s in stats)
+    out = jax.jit(
+        functools.partial(model.apply, train=False, condition="S3DIS")
+    )(variables, batch)
+    assert out.shape == (2, 48, 5)
+    assert np.isfinite(np.asarray(out)).all()

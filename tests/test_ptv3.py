@@ -75,6 +75,56 @@ class TestPTv3:
         assert np.isfinite(np.asarray(out)).all()
         assert np.allclose(np.asarray(out)[1, 72:], 0.0)
 
+    def test_rpe_forward_and_grads(self, rng):
+        model = build_model(
+            dict(
+                type="PT-v3m1",
+                in_channels=6,
+                order=("z",),
+                stride=(2,),
+                enc_depths=(1, 1),
+                enc_channels=(8, 16),
+                enc_num_head=(2, 2),
+                enc_patch_size=(16, 16),
+                dec_depths=(1,),
+                dec_channels=(8,),
+                dec_num_head=(2,),
+                dec_patch_size=(16,),
+                drop_path=0.0,
+                enable_rpe=True,
+                enable_flash=False,
+            )
+        )
+        batch = self.make_batch(rng)
+        variables = jit_init(
+            model,
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            batch, train=True,
+        )
+        flat = jax.tree_util.tree_leaves_with_path(variables["params"])
+        rpe_keys = [p for p, _ in flat if "rpe_table" in str(p)]
+        assert rpe_keys, "RPE tables missing from params"
+
+        @jax.jit
+        def loss_fn(params):
+            out, _ = model.apply(
+                {"params": params,
+                 "batch_stats": variables.get("batch_stats", {})},
+                batch, train=True, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(2)},
+            )
+            return jnp.sum(out ** 2)
+
+        grads = jax.jit(jax.grad(loss_fn))(variables["params"])
+        rpe_grads = [
+            g for p, g in jax.tree_util.tree_leaves_with_path(grads)
+            if "rpe_table" in str(p)
+        ]
+        assert rpe_grads
+        assert any(float(jnp.sum(jnp.abs(g))) > 0 for g in rpe_grads)
+        out = jit_apply(model, variables, batch, train=False)
+        assert np.isfinite(np.asarray(out)).all()
+
     def test_train_grads(self, rng, tiny):
         batch = self.make_batch(rng)
         variables = jit_init(

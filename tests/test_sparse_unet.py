@@ -166,3 +166,116 @@ class TestSpUNet:
         assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
         total = sum(float(jnp.sum(jnp.abs(g))) for g in leaves)
         assert total > 0
+
+
+class TestPDNormSpUNet:
+    """SpUNet-v1m3: per-condition decoupled PDNorm (+ adaptive context)."""
+
+    def make_batch(self, rng, B=2, N=64, C=4):
+        coord = rng.rand(B, N, 3).astype(np.float32)
+        mask = np.ones((B, N), bool)
+        return dict(
+            grid_coord=jnp.asarray((coord / 0.1).astype(np.int32)),
+            coord=jnp.asarray(coord),
+            feat=jnp.asarray(rng.rand(B, N, C).astype(np.float32)),
+            mask=jnp.asarray(mask),
+        )
+
+    @pytest.fixture(scope="class")
+    def cfg(self):
+        return dict(
+            type="SpUNet-v1m3",
+            in_channels=4,
+            num_classes=5,
+            base_channels=8,
+            channels=(8, 16, 16, 8),
+            layers=(1, 1, 1, 1),
+            conditions=("ScanNet", "S3DIS"),
+            norm_decouple=True,
+            norm_adaptive=True,
+            context_channels=16,
+        )
+
+    def test_stacked_banks_and_condition_select(self, rng, cfg):
+        model = build_model(dict(cfg))
+        batch = self.make_batch(rng)
+        batch["context"] = jnp.asarray(rng.rand(16).astype(np.float32))
+        variables = jit_init(model, {"params": jax.random.PRNGKey(0)}, batch,
+                             train=False, condition="ScanNet")
+        # stacked (n_cond, C) banks: every BN scale has leading dim 2
+        flat = jax.tree_util.tree_leaves_with_path(variables["batch_stats"])
+        assert flat and all(g.shape[0] == 2 for _, g in flat)
+        out_sc = jit_apply(model, variables, batch, train=False,
+                           condition="ScanNet")
+        out_s3 = jit_apply(model, variables, batch, train=False,
+                           condition="S3DIS")
+        assert out_sc.shape == (2, 64, 5)
+        assert np.isfinite(np.asarray(out_sc)).all()
+        # adaptive modulation is zero-init -> both start identical; after
+        # perturbing only ScanNet's bank they must diverge
+        np.testing.assert_allclose(np.asarray(out_sc), np.asarray(out_s3),
+                                   rtol=1e-5, atol=1e-6)
+        stats = jax.tree_util.tree_map(
+            lambda v: v.at[0].set(v[0] + 0.5) if v.shape[0] == 2 else v,
+            variables["batch_stats"],
+        )
+        out_sc2 = jit_apply(model, {**variables, "batch_stats": stats},
+                            batch, train=False, condition="ScanNet")
+        out_s32 = jit_apply(model, {**variables, "batch_stats": stats},
+                            batch, train=False, condition="S3DIS")
+        assert not np.allclose(np.asarray(out_sc2), np.asarray(out_sc))
+        np.testing.assert_allclose(np.asarray(out_s32), np.asarray(out_s3),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_train_updates_only_active_condition(self, rng, cfg):
+        model = build_model(dict(cfg))
+        batch = self.make_batch(rng)
+        batch["context"] = jnp.asarray(rng.rand(16).astype(np.float32))
+        variables = jit_init(model, {"params": jax.random.PRNGKey(0)}, batch,
+                             train=True, condition="ScanNet")
+        _, mutated = jax.jit(
+            lambda v, b: model.apply(v, b, train=True,
+                                     mutable=["batch_stats"],
+                                     condition="ScanNet")
+        )(variables, batch)
+        before = jax.tree_util.tree_leaves(variables["batch_stats"])
+        after = jax.tree_util.tree_leaves(mutated["batch_stats"])
+        changed_active = any(
+            not np.allclose(np.asarray(a[0]), np.asarray(b0[0]))
+            for a, b0 in zip(after, before)
+        )
+        inactive_frozen = all(
+            np.allclose(np.asarray(a[1]), np.asarray(b0[1]))
+            for a, b0 in zip(after, before)
+        )
+        assert changed_active and inactive_frozen
+
+
+class TestMinkBottleneck:
+    def test_minkunet50_forward(self, rng):
+        model = build_model(
+            dict(
+                type="MinkUNet50",
+                in_channels=4,
+                num_classes=5,
+                base_channels=8,
+                channels=(8, 16, 16, 8),
+                layers=(1, 1, 1, 1),
+            )
+        )
+        coord = rng.rand(2, 64, 3).astype(np.float32)
+        batch = dict(
+            grid_coord=jnp.asarray((coord / 0.1).astype(np.int32)),
+            coord=jnp.asarray(coord),
+            feat=jnp.asarray(rng.rand(2, 64, 4).astype(np.float32)),
+            mask=jnp.asarray(np.ones((2, 64), bool)),
+        )
+        variables = jit_init(model, {"params": jax.random.PRNGKey(0)}, batch,
+                             train=False)
+        out = jit_apply(model, variables, batch, train=False)
+        assert out.shape == (2, 64, 5)
+        assert np.isfinite(np.asarray(out)).all()
+        # bottleneck blocks present: conv3 (the 1x1 expansion) in params
+        names = [str(p) for p, _ in
+                 jax.tree_util.tree_leaves_with_path(variables["params"])]
+        assert any("conv3" in s for s in names)

@@ -103,3 +103,40 @@ class TestST:
         leaves = jax.tree_util.tree_leaves(grads)
         assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
         assert sum(float(jnp.sum(jnp.abs(g))) for g in leaves) > 0
+
+
+def test_st_v1m2_refined_builds_and_runs():
+    model = build_model(
+        dict(
+            type="ST-v1m2",
+            in_channels=6,
+            num_classes=4,
+            channels=(8, 16, 16, 16),
+            num_heads=(2, 2, 2),
+            depths=(1, 1, 1),
+            window_size=(0.2, 0.4, 0.8),
+            quant_size=(0.01, 0.02, 0.04),
+            down_ratio=0.5,
+            down_num_sample=4,
+            kp_ball_radius=0.25,
+            kp_max_neighbor=8,
+            kp_grid_size=0.1,
+            k_local=8,
+            k_sparse=4,
+        )
+    )
+    rng = np.random.RandomState(0)
+    batch = make_batch(rng)
+    variables = jit_init(
+        model,
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, train=False,
+    )
+    logits, inter = jit_apply(model, variables, batch, train=False)
+    assert logits.shape == (2, 64, 4)
+    assert np.isfinite(np.asarray(logits)).all()
+    # all three transformer layers exist (v1m2 drives layers 1..3)
+    names = [str(p) for p, _ in
+             jax.tree_util.tree_leaves_with_path(variables["params"])]
+    assert any("layer1_block0" in s for s in names)
+    assert any("layer3_block0" in s for s in names)
