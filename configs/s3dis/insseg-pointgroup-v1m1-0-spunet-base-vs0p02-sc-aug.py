@@ -1,0 +1,38 @@
+# S3DIS PointGroup 0.02 voxels + ScanNet-style elastic aug (reference
+# configs/s3dis/insseg-pointgroup-v1m1-0-spunet-base-vs0p02-sc-aug.py).
+_base_ = ["./insseg-pointgroup-v1m1-0-spunet-base-vs0p02.py"]
+
+data = dict(
+    train=dict(
+        transform=[
+            dict(type="CenterShift", apply_z=True),
+            dict(type="RandomDropout", dropout_ratio=0.2,
+                 dropout_application_ratio=0.5),
+            dict(type="RandomRotate", angle=[-1, 1], axis="z",
+                 center=[0, 0, 0], p=0.5),
+            dict(type="RandomRotate", angle=[-1 / 64, 1 / 64], axis="x", p=0.5),
+            dict(type="RandomRotate", angle=[-1 / 64, 1 / 64], axis="y", p=0.5),
+            dict(type="RandomScale", scale=[0.9, 1.1]),
+            dict(type="RandomFlip", p=0.5),
+            dict(type="RandomJitter", sigma=0.005, clip=0.02),
+            dict(type="ElasticDistortion",
+                 distortion_params=[[0.2, 0.4], [0.8, 1.6]]),
+            dict(type="ChromaticAutoContrast", p=0.2, blend_factor=None),
+            dict(type="ChromaticTranslation", p=0.95, ratio=0.05),
+            dict(type="ChromaticJitter", p=0.95, std=0.05),
+            dict(type="GridSample", grid_size=0.02, hash_type="fnv",
+                 mode="train", return_grid_coord=True,
+                 keys=("coord", "color", "normal", "segment", "instance")),
+            dict(type="SphereCrop", point_max=100000, mode="random"),
+            dict(type="CenterShift", apply_z=False),
+            dict(type="NormalizeColor"),
+            dict(type="InstanceParser", segment_ignore_index=(-1,),
+                 instance_ignore_index=-1),
+            dict(type="ToTensor"),
+            dict(type="Collect",
+                 keys=("coord", "grid_coord", "segment", "instance",
+                       "instance_centroid"),
+                 feat_keys=("color", "normal")),
+        ],
+    ),
+)

@@ -1,0 +1,7 @@
+# S3DIS PT-v2m1 (pe_multiplier variant, reference
+# configs/s3dis/semseg-pt-v2m1-0-base.py).
+_base_ = ["./semseg-pt-v2m2-0-base.py"]
+
+model = dict(
+    backbone=dict(type="PT-v2m1", pe_multiplier=True, pe_bias=False)
+)

@@ -1,0 +1,108 @@
+# S3DIS Area-5 closed-set semseg with PT-v3 + relative position encoding.
+# Parity target: reference configs/s3dis/semseg-pt-v3m1-0-rpe.py
+# (73.6 Area-5 val mIoU baseline, docs/README_Pointcept.md:559).
+_base_ = ["./semseg-pt-v1-0-base.py"]
+
+batch_size = 12
+mix_prob = 0.8
+enable_amp = True
+
+model = dict(
+    _delete_=True,
+    type="DefaultSegmentorV2",
+    num_classes=13,
+    backbone_out_channels=64,
+    backbone=dict(
+        type="PT-v3m1",
+        in_channels=6,
+        order=("z", "z-trans", "hilbert", "hilbert-trans"),
+        stride=(2, 2, 2, 2),
+        enc_depths=(2, 2, 2, 6, 2),
+        enc_channels=(32, 64, 128, 256, 512),
+        enc_num_head=(2, 4, 8, 16, 32),
+        enc_patch_size=(128, 128, 128, 128, 128),
+        dec_depths=(2, 2, 2, 2),
+        dec_channels=(64, 64, 128, 256),
+        dec_num_head=(4, 4, 8, 16),
+        dec_patch_size=(128, 128, 128, 128),
+        mlp_ratio=4,
+        qkv_bias=True,
+        drop_path=0.3,
+        shuffle_orders=True,
+        enable_rpe=True,
+        enable_flash=False,
+        cls_mode=False,
+    ),
+    criteria=[
+        dict(type="CrossEntropyLoss", loss_weight=1.0, ignore_index=-1),
+        dict(type="LovaszLoss", mode="multiclass", loss_weight=1.0,
+             ignore_index=-1),
+    ],
+)
+
+epoch = 3000
+eval_epoch = 100
+optimizer = dict(type="AdamW", lr=0.006, weight_decay=0.05)
+scheduler = dict(
+    type="OneCycleLR",
+    max_lr=[0.006, 0.0006],
+    pct_start=0.05,
+    anneal_strategy="cos",
+    div_factor=10.0,
+    final_div_factor=1000.0,
+)
+param_dicts = [dict(keyword="block", lr=0.0006)]
+
+# PT-v3 trains on finer voxels with stacked crops (reference :100-135)
+data = dict(
+    train=dict(
+        transform=[
+            dict(type="CenterShift", apply_z=True),
+            dict(type="RandomDropout", dropout_ratio=0.2,
+                 dropout_application_ratio=0.2),
+            dict(type="RandomRotate", angle=[-1, 1], axis="z",
+                 center=[0, 0, 0], p=0.5),
+            dict(type="RandomRotate", angle=[-1 / 64, 1 / 64], axis="x", p=0.5),
+            dict(type="RandomRotate", angle=[-1 / 64, 1 / 64], axis="y", p=0.5),
+            dict(type="RandomScale", scale=[0.9, 1.1]),
+            dict(type="RandomFlip", p=0.5),
+            dict(type="RandomJitter", sigma=0.005, clip=0.02),
+            dict(type="ChromaticAutoContrast", p=0.2, blend_factor=None),
+            dict(type="ChromaticTranslation", p=0.95, ratio=0.05),
+            dict(type="ChromaticJitter", p=0.95, std=0.05),
+            dict(type="GridSample", grid_size=0.02, hash_type="fnv",
+                 mode="train", return_grid_coord=True),
+            dict(type="SphereCrop", sample_rate=0.6, mode="random"),
+            dict(type="SphereCrop", point_max=204800, mode="random"),
+            dict(type="CenterShift", apply_z=False),
+            dict(type="NormalizeColor"),
+            dict(type="ToTensor"),
+            dict(type="Collect", keys=("coord", "grid_coord", "segment"),
+                 feat_keys=("color", "normal")),
+        ],
+    ),
+    val=dict(
+        transform=[
+            dict(type="CenterShift", apply_z=True),
+            dict(type="Copy",
+                 keys_dict={"coord": "origin_coord",
+                            "segment": "origin_segment"}),
+            dict(type="GridSample", grid_size=0.02, hash_type="fnv",
+                 mode="train", return_grid_coord=True),
+            dict(type="CenterShift", apply_z=False),
+            dict(type="NormalizeColor"),
+            dict(type="ToTensor"),
+            dict(type="Collect",
+                 keys=("coord", "grid_coord", "origin_coord", "segment",
+                       "origin_segment"),
+                 feat_keys=("color", "normal")),
+        ],
+    ),
+    test=dict(
+        test_cfg=dict(
+            voxelize=dict(type="GridSample", grid_size=0.02, hash_type="fnv",
+                          mode="test", keys=("coord", "color", "normal"),
+                          return_grid_coord=True),
+        ),
+    ),
+)

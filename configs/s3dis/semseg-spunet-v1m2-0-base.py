@@ -1,0 +1,5 @@
+# S3DIS SpUNet-v1m2 (bn-momentum variant, reference
+# configs/s3dis/semseg-spunet-v1m2-0-base.py).
+_base_ = ["./semseg-spunet-v1m1-0-base.py"]
+
+model = dict(backbone=dict(type="SpUNet-v1m2"))

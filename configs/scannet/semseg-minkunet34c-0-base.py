@@ -1,0 +1,10 @@
+# ScanNetv2 MinkUNet34C (reference
+# configs/scannet/semseg-minkunet34c-0-base.py).
+_base_ = ["./semseg-spunet-v1m1-0-base.py"]
+
+model = dict(
+    _delete_=True,
+    type="DefaultSegmentor",
+    backbone=dict(type="MinkUNet34C", in_channels=6, num_classes=20),
+    criteria=[dict(type="CrossEntropyLoss", loss_weight=1.0, ignore_index=-1)],
+)

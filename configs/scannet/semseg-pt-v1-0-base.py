@@ -1,0 +1,73 @@
+# ScanNetv2 closed-set with PT-v1 Seg50 (reference
+# configs/scannet/semseg-pt-v1-0-base.py).
+_base_ = ["./semseg-pt-v3m1-0-base.py"]
+
+batch_size = 12
+mix_prob = 0.8
+
+model = dict(
+    _delete_=True,
+    type="DefaultSegmentor",
+    backbone=dict(
+        type="PointTransformer-Seg50",
+        in_channels=6,
+        num_classes=20,
+    ),
+    criteria=[dict(type="CrossEntropyLoss", loss_weight=1.0, ignore_index=-1)],
+)
+
+epoch = 600
+eval_epoch = 100
+optimizer = dict(type="AdamW", lr=0.006, weight_decay=0.05)
+scheduler = dict(type="MultiStepLR", milestones=[0.6, 0.8], gamma=0.1)
+param_dicts = None
+
+data = dict(
+    train=dict(
+        transform=[
+            dict(type="CenterShift", apply_z=True),
+            dict(type="RandomDropout", dropout_ratio=0.2,
+                 dropout_application_ratio=0.2),
+            dict(type="RandomRotate", angle=[-1, 1], axis="z",
+                 center=[0, 0, 0], p=0.5),
+            dict(type="RandomRotate", angle=[-1 / 64, 1 / 64], axis="x", p=0.5),
+            dict(type="RandomRotate", angle=[-1 / 64, 1 / 64], axis="y", p=0.5),
+            dict(type="RandomScale", scale=[0.9, 1.1]),
+            dict(type="RandomFlip", p=0.5),
+            dict(type="RandomJitter", sigma=0.005, clip=0.02),
+            dict(type="ElasticDistortion",
+                 distortion_params=[[0.2, 0.4], [0.8, 1.6]]),
+            dict(type="ChromaticAutoContrast", p=0.2, blend_factor=None),
+            dict(type="ChromaticTranslation", p=0.95, ratio=0.05),
+            dict(type="ChromaticJitter", p=0.95, std=0.05),
+            dict(type="GridSample", grid_size=0.04, hash_type="fnv",
+                 mode="train", return_grid_coord=True),
+            dict(type="SphereCrop", point_max=80000, mode="random"),
+            dict(type="CenterShift", apply_z=False),
+            dict(type="NormalizeColor"),
+            dict(type="ShufflePoint"),
+            dict(type="ToTensor"),
+            dict(type="Collect", keys=("coord", "grid_coord", "segment"),
+                 feat_keys=("color", "normal")),
+        ],
+    ),
+    val=dict(
+        transform=[
+            dict(type="CenterShift", apply_z=True),
+            dict(type="GridSample", grid_size=0.04, hash_type="fnv",
+                 mode="train", return_grid_coord=True),
+            dict(type="CenterShift", apply_z=False),
+            dict(type="NormalizeColor"),
+            dict(type="ToTensor"),
+            dict(type="Collect", keys=("coord", "grid_coord", "segment"),
+                 feat_keys=("color", "normal")),
+        ],
+    ),
+    test=dict(
+        test_cfg=dict(
+            voxelize=dict(type="GridSample", grid_size=0.04, hash_type="fnv",
+                          mode="test", keys=("coord", "color", "normal"),
+                          return_grid_coord=True),
+        ),
+    ),
+)

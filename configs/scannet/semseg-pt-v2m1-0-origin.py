@@ -1,0 +1,7 @@
+# ScanNetv2 PT-v2m1 original (reference
+# configs/scannet/semseg-pt-v2m1-0-origin.py).
+_base_ = ["./semseg-pt-v2m2-0-base.py"]
+
+model = dict(
+    backbone=dict(type="PT-v2m1", pe_multiplier=True, pe_bias=False)
+)

@@ -1,0 +1,14 @@
+# SpUNet with the runtime profiler hooks enabled (reference
+# configs/scannet/semseg-spunet-v1m1-3-enable-profiler.py).
+_base_ = ["./semseg-spunet-v1m1-0-base.py"]
+
+epoch = 1
+eval_epoch = 1
+
+hooks = [
+    dict(type="CheckpointLoader"),
+    dict(type="IterationTimer", warmup_iter=2),
+    dict(type="InformationWriter"),
+    dict(type="RuntimeProfiler", forward=True, backward=True,
+         interrupt=True),
+]

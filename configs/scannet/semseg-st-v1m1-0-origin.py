@@ -1,0 +1,97 @@
+# ScanNetv2 Stratified Transformer v1m1 (reference
+# configs/scannet/semseg-st-v1m1-0-origin.py).
+_base_ = ["./semseg-pt-v1-0-base.py"]
+
+batch_size = 12
+mix_prob = 0.8
+
+model = dict(
+    _delete_=True,
+    type="DefaultSegmentor",
+    backbone=dict(
+        type="ST-v1m1",
+        downsample_scale=8,
+        depths=[3, 9, 3, 3],
+        channels=[48, 96, 192, 384],
+        num_heads=[6, 12, 24, 48],
+        window_size=[0.1, 0.2, 0.4, 0.8],
+        up_k=3,
+        grid_sizes=[0.02, 0.04, 0.08, 0.16],
+        quant_sizes=[0.005, 0.01, 0.02, 0.04],
+        rel_query=True,
+        rel_key=True,
+        rel_value=True,
+        drop_path_rate=0.3,
+        num_layers=4,
+        concat_xyz=True,
+        num_classes=20,
+        ratio=0.25,
+        k=16,
+        prev_grid_size=0.02,
+        sigma=1.0,
+        stem_transformer=False,
+        kp_ball_radius=0.02 * 2.5,
+        kp_max_neighbor=34,
+    ),
+    criteria=[dict(type="CrossEntropyLoss", loss_weight=1.0, ignore_index=-1)],
+)
+
+epoch = 600
+eval_epoch = 100
+optimizer = dict(type="AdamW", lr=0.006, weight_decay=0.05)
+scheduler = dict(type="MultiStepWithWarmupLR", milestones=[0.6, 0.8],
+                 gamma=0.1, warmup_rate=0.05, warmup_scale=1e-6)
+param_dicts = None
+
+data = dict(
+    train=dict(
+        transform=[
+            dict(type="CenterShift", apply_z=True),
+            dict(type="RandomDropout", dropout_ratio=0.2,
+                 dropout_application_ratio=0.2),
+            dict(type="RandomRotate", angle=[-1, 1], axis="z",
+                 center=[0, 0, 0], p=0.5),
+            dict(type="RandomRotate", angle=[-1 / 64, 1 / 64], axis="x", p=0.5),
+            dict(type="RandomRotate", angle=[-1 / 64, 1 / 64], axis="y", p=0.5),
+            dict(type="RandomScale", scale=[0.9, 1.1]),
+            dict(type="RandomFlip", p=0.5),
+            dict(type="RandomJitter", sigma=0.005, clip=0.02),
+            dict(type="ElasticDistortion",
+                 distortion_params=[[0.2, 0.4], [0.8, 1.6]]),
+            dict(type="ChromaticAutoContrast", p=0.2, blend_factor=None),
+            dict(type="ChromaticTranslation", p=0.95, ratio=0.05),
+            dict(type="ChromaticJitter", p=0.95, std=0.05),
+            dict(type="GridSample", grid_size=0.02, hash_type="fnv",
+                 mode="train", return_grid_coord=True),
+            dict(type="SphereCrop", point_max=100000, mode="random"),
+            dict(type="CenterShift", apply_z=False),
+            dict(type="NormalizeColor"),
+            dict(type="ShufflePoint"),
+            dict(type="ToTensor"),
+            dict(type="Collect", keys=("coord", "grid_coord", "segment"),
+                 feat_keys=("color", "coord")),
+        ],
+    ),
+    val=dict(
+        transform=[
+            dict(type="CenterShift", apply_z=True),
+            dict(type="GridSample", grid_size=0.02, hash_type="fnv",
+                 mode="train", return_grid_coord=True),
+            dict(type="CenterShift", apply_z=False),
+            dict(type="NormalizeColor"),
+            dict(type="ToTensor"),
+            dict(type="Collect", keys=("coord", "grid_coord", "segment"),
+                 feat_keys=("color", "coord")),
+        ],
+    ),
+    test=dict(
+        test_cfg=dict(
+            post_transform=[
+                dict(type="CenterShift", apply_z=False),
+                dict(type="ToTensor"),
+                dict(type="Collect", keys=("coord", "grid_coord", "index"),
+                     feat_keys=("color", "coord")),
+            ],
+        ),
+    ),
+)

@@ -1,0 +1,6 @@
+# ScanNet200 PT-v2m1 (reference configs/scannet200/semseg-pt-v2m1-0-base.py).
+_base_ = ["./semseg-pt-v2m2-0-base.py"]
+
+model = dict(
+    backbone=dict(type="PT-v2m1", pe_multiplier=True, pe_bias=False)
+)

@@ -1,0 +1,30 @@
+# SemanticKITTI SpUNet (reference
+# configs/semantic_kitti/semseg-spunet-v1m1-0-base.py).
+_base_ = ["./semseg-pt-v3m1-0-base.py"]
+
+model = dict(
+    _delete_=True,
+    type="DefaultSegmentor",
+    backbone=dict(
+        type="SpUNet-v1m1",
+        in_channels=4,
+        num_classes=19,
+        channels=(32, 64, 128, 256, 256, 128, 96, 96),
+        layers=(2, 3, 4, 6, 2, 2, 2, 2),
+    ),
+    criteria=[dict(type="CrossEntropyLoss", loss_weight=1.0, ignore_index=-1)],
+)
+
+epoch = 50
+eval_epoch = 50
+optimizer = dict(type="SGD", lr=0.24, momentum=0.9, weight_decay=0.0001,
+                 nesterov=True)
+scheduler = dict(
+    type="OneCycleLR",
+    max_lr=0.24,
+    pct_start=0.04,
+    anneal_strategy="cos",
+    div_factor=10.0,
+    final_div_factor=100.0,
+)
+param_dicts = None

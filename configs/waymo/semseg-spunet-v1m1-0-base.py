@@ -1,0 +1,113 @@
+# Waymo lidar semseg with SpUNet (reference
+# configs/waymo/semseg-spunet-v1m1-0-base.py).
+_base_ = ["../_base_/default_runtime.py"]
+
+batch_size = 12
+mix_prob = 0.8
+enable_amp = True
+
+model = dict(
+    type="DefaultSegmentor",
+    backbone=dict(
+        type="SpUNet-v1m1",
+        in_channels=4,
+        num_classes=22,
+        channels=(32, 64, 128, 256, 256, 128, 96, 96),
+        layers=(2, 3, 4, 6, 2, 2, 2, 2),
+    ),
+    criteria=[dict(type="CrossEntropyLoss", loss_weight=1.0, ignore_index=-1)],
+)
+
+epoch = 50
+eval_epoch = 50
+optimizer = dict(type="SGD", lr=0.24, momentum=0.9, weight_decay=0.0001,
+                 nesterov=True)
+scheduler = dict(
+    type="OneCycleLR",
+    max_lr=0.24,
+    pct_start=0.04,
+    anneal_strategy="cos",
+    div_factor=10.0,
+    final_div_factor=100.0,
+)
+
+dataset_type = "WaymoDataset"
+data_root = "data/waymo"
+ignore_index = -1
+names = [
+    "Car", "Truck", "Bus", "Other Vehicle", "Motorcyclist", "Bicyclist",
+    "Pedestrian", "Sign", "Traffic Light", "Pole", "Construction Cone",
+    "Bicycle", "Motorcycle", "Building", "Vegetation", "Tree Trunk",
+    "Curb", "Road", "Lane Marker", "Other Ground", "Walkable", "Sidewalk",
+]
+
+data = dict(
+    num_classes=22,
+    ignore_index=ignore_index,
+    names=names,
+    train=dict(
+        type=dataset_type,
+        split="training",
+        data_root=data_root,
+        transform=[
+            dict(type="RandomRotate", angle=[-1, 1], axis="z",
+                 center=[0, 0, 0], p=0.5),
+            dict(type="RandomScale", scale=[0.9, 1.1]),
+            dict(type="RandomFlip", p=0.5),
+            dict(type="RandomJitter", sigma=0.005, clip=0.02),
+            dict(type="PointClip",
+                 point_cloud_range=(-75.2, -75.2, -4, 75.2, 75.2, 2)),
+            dict(type="GridSample", grid_size=0.05, hash_type="fnv",
+                 mode="train", return_grid_coord=True,
+                 keys=("coord", "strength", "segment")),
+            dict(type="SphereCrop", point_max=102400, mode="random"),
+            dict(type="PositiveShift"),
+            dict(type="ToTensor"),
+            dict(type="Collect", keys=("coord", "grid_coord", "segment"),
+                 feat_keys=("coord", "strength")),
+        ],
+        test_mode=False,
+    ),
+    val=dict(
+        type=dataset_type,
+        split="validation",
+        data_root=data_root,
+        transform=[
+            dict(type="PointClip",
+                 point_cloud_range=(-75.2, -75.2, -4, 75.2, 75.2, 2)),
+            dict(type="GridSample", grid_size=0.05, hash_type="fnv",
+                 mode="train", return_grid_coord=True,
+                 keys=("coord", "strength", "segment")),
+            dict(type="PositiveShift"),
+            dict(type="ToTensor"),
+            dict(type="Collect", keys=("coord", "grid_coord", "segment"),
+                 feat_keys=("coord", "strength")),
+        ],
+        test_mode=False,
+    ),
+    test=dict(
+        type=dataset_type,
+        split="validation",
+        data_root=data_root,
+        transform=[
+            dict(type="PointClip",
+                 point_cloud_range=(-75.2, -75.2, -4, 75.2, 75.2, 2)),
+        ],
+        test_mode=True,
+        test_cfg=dict(
+            voxelize=dict(type="GridSample", grid_size=0.05, hash_type="fnv",
+                          mode="test", return_grid_coord=True,
+                          keys=("coord", "strength")),
+            crop=None,
+            post_transform=[
+                dict(type="PositiveShift"),
+                dict(type="ToTensor"),
+                dict(type="Collect", keys=("coord", "grid_coord", "index"),
+                     feat_keys=("coord", "strength")),
+            ],
+            aug_transform=[
+                [dict(type="RandomScale", scale=[1, 1])],
+            ],
+        ),
+    ),
+)

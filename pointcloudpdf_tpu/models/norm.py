@@ -173,3 +173,54 @@ class PDMaskedBatchNorm(nn.Module):
             y = y * (1.0 + mscale) + shift
 
         return y.astype(x.dtype)
+
+class PDLayerNorm(nn.Module):
+    """Prompt-driven LayerNorm: per-condition affine banks (+ optional
+    adaptive context modulation), the LN counterpart of PDMaskedBatchNorm
+    (reference prompt_driven_normalization.py with norm_layer=LayerNorm,
+    used by PT-v3's pdnorm_ln)."""
+
+    features: int
+    conditions: Sequence[str]
+    condition: Optional[str] = None
+    decouple: bool = True
+    adaptive: bool = False
+    affine: bool = True
+    context_channels: int = 256
+    epsilon: float = 1e-6
+    zero_init: bool = True
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[jnp.ndarray] = None,
+                 train: bool = True,
+                 context: Optional[jnp.ndarray] = None):
+        n_bank = len(self.conditions) if self.decouple else 1
+        if self.decouple:
+            assert self.condition in self.conditions, self.condition
+            ci = tuple(self.conditions).index(self.condition)
+        else:
+            ci = 0
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        if self.affine:
+            scale = self.param(
+                "scale", nn.initializers.ones, (n_bank, self.features)
+            )[ci]
+            bias = self.param(
+                "bias", nn.initializers.zeros, (n_bank, self.features)
+            )[ci]
+            y = y * scale + bias
+        if self.adaptive:
+            assert context is not None, "adaptive PDNorm needs a context"
+            w_init = (
+                nn.initializers.zeros if self.zero_init
+                else nn.initializers.truncated_normal(stddev=0.02)
+            )
+            mod = nn.Dense(
+                2 * self.features, kernel_init=w_init, name="modulation"
+            )(nn.silu(context.reshape(-1)))
+            shift, mscale = jnp.split(mod, 2)
+            y = y * (1.0 + mscale) + shift
+        return y.astype(x.dtype)

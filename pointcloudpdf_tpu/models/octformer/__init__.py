@@ -1,1 +1,1 @@
-from .octformer import octformer_v1m1
+from .octformer import OctFormer

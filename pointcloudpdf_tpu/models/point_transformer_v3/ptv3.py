@@ -27,7 +27,7 @@ drop_path is stochastic depth per sample.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Sequence
+from typing import Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -42,10 +42,19 @@ from ...ops.voxel import (
     unique_parents,
 )
 from ..builder import MODELS
-from ..norm import MaskedBatchNorm
-from ..sparse_unet.spconv_unet import SubMConv
+from ..norm import MaskedBatchNorm, PDLayerNorm
+from ..sparse_unet.spconv_unet import SubMConv, _bn_factory
 
 _trunc02 = nn.initializers.truncated_normal(stddev=0.02)
+
+
+class _PlainLN(nn.Module):
+    """LayerNorm with the (x, mask, train, context) norm call convention
+    shared with the PDNorm factories (mask/train/context ignored)."""
+
+    @nn.compact
+    def __call__(self, x, mask=None, train=True, context=None):
+        return nn.LayerNorm(name="ln")(x)
 
 
 class DropPath(nn.Module):
@@ -184,11 +193,13 @@ class Block(nn.Module):
     drop_path: float
     qkv_bias: bool = True
     enable_rpe: bool = False
+    ln: Optional[object] = None
 
     @nn.compact
     def __call__(self, feat, nbr, order, inverse, mask, train: bool,
-                 grid=None):
+                 grid=None, context=None):
         b, n = mask.shape
+        ln = self.ln or (lambda c, name: _PlainLN(name=name))
         flat_mask = mask.reshape(b * n)
         flat = feat.reshape(b * n, -1)
 
@@ -196,14 +207,14 @@ class Block(nn.Module):
         y = SubMConv(self.channels, self.channels, nbr.shape[-1],
                      use_bias=True, name="cpe_conv")(flat, nbr)
         y = nn.Dense(self.channels, kernel_init=_trunc02, name="cpe_fc")(y)
-        y = nn.LayerNorm(name="cpe_norm")(y)
+        y = ln(self.channels, name="cpe_norm")(y, flat_mask, train, context)
         flat = flat + jnp.where(flat_mask[:, None], y, 0.0)
         feat = flat.reshape(b, n, -1)
 
         dp = DropPath(self.drop_path, b, name="drop_path")
 
         shortcut = feat
-        y = nn.LayerNorm(name="norm1")(feat)
+        y = ln(self.channels, name="norm1")(feat, mask, train, context)
         y = SerializedAttention(
             self.channels, self.num_heads, self.patch_size,
             self.qkv_bias, self.enable_rpe, name="attn",
@@ -213,7 +224,7 @@ class Block(nn.Module):
         ).reshape(b, n, -1)
 
         shortcut = feat
-        y = nn.LayerNorm(name="norm2")(feat)
+        y = ln(self.channels, name="norm2")(feat, mask, train, context)
         y = nn.Dense(int(self.channels * self.mlp_ratio),
                      kernel_init=_trunc02, name="mlp_fc1")(y)
         y = nn.gelu(y)
@@ -241,7 +252,8 @@ class PointTransformerV3(nn.Module):
     shuffle_orders: bool = True
     cls_mode: bool = False
     enable_rpe: bool = False
-    # accepted for config parity; the dense masked path ignores them
+    # flash/upcast switches accepted for config parity; the masked dense
+    # patch attention is already the fused TPU path
     enable_flash: bool = True
     upcast_attention: bool = True
     upcast_softmax: bool = True
@@ -257,10 +269,32 @@ class PointTransformerV3(nn.Module):
     pdnorm_conditions: Sequence[str] = ()
 
     @nn.compact
-    def __call__(self, input_dict: Dict, train: bool = True):
+    def __call__(self, input_dict: Dict, train: bool = True,
+                 condition: Optional[str] = None):
         num_stages = len(self.enc_depths)
         orders = list(self.order)
-        bn = functools.partial(MaskedBatchNorm, momentum=0.01, epsilon=1e-3)
+        conds = tuple(self.pdnorm_conditions)
+        if conds and (self.pdnorm_bn or self.pdnorm_ln):
+            condition = condition or input_dict.get("condition_name")
+            ctx = input_dict.get("context")
+        else:
+            ctx = None
+        if conds and self.pdnorm_bn:
+            bn = _bn_factory(
+                conds, condition, self.pdnorm_decouple,
+                self.pdnorm_adaptive, self.pdnorm_affine,
+            )
+        else:
+            bn = functools.partial(MaskedBatchNorm, momentum=0.01,
+                                   epsilon=1e-3)
+        if conds and self.pdnorm_ln:
+            ln = functools.partial(
+                PDLayerNorm, conditions=conds, condition=condition,
+                decouple=self.pdnorm_decouple,
+                adaptive=self.pdnorm_adaptive, affine=self.pdnorm_affine,
+            )
+        else:
+            ln = None
         off3 = kernel_offsets(3)
         off5 = kernel_offsets(5)
 
@@ -276,7 +310,9 @@ class PointTransformerV3(nn.Module):
         flat_mask = mask.reshape(b * n)
         y = SubMConv(self.in_channels, self.enc_channels[0], off5.shape[0],
                      name="embedding")(feat.reshape(b * n, -1), nbr5)
-        y = bn(self.enc_channels[0], name="embedding_bn")(y, flat_mask, train)
+        y = bn(self.enc_channels[0], name="embedding_bn")(
+            y, flat_mask, train, ctx
+        )
         y = nn.relu(y)
         feat = jnp.where(flat_mask[:, None], y, 0.0).reshape(b, n, -1)
 
@@ -306,7 +342,7 @@ class PointTransformerV3(nn.Module):
                 pooled = jnp.where(jnp.isfinite(pooled), pooled, 0.0)
                 flat_p_mask = p_mask.reshape(b * n)
                 pooled = bn(self.enc_channels[s], name=f"pool{s}_bn")(
-                    pooled.astype(feat.dtype), flat_p_mask, train
+                    pooled.astype(feat.dtype), flat_p_mask, train, ctx
                 )
                 pooled = nn.relu(pooled)
                 pools.append(dict(c2p=c2p, child=dict(level)))
@@ -327,8 +363,9 @@ class PointTransformerV3(nn.Module):
                     self.enc_channels[s], self.enc_num_head[s],
                     self.enc_patch_size[s], self.mlp_ratio,
                     enc_dp[base + i], self.qkv_bias, self.enable_rpe,
-                    name=f"enc{s}_block{i}",
-                )(feat, stage_nbr, perms[oi], invs[oi], m, train, grid=g)
+                    ln, name=f"enc{s}_block{i}",
+                )(feat, stage_nbr, perms[oi], invs[oi], m, train, grid=g,
+                  context=ctx)
             skips.append((feat, dict(level)))
 
         if not self.cls_mode:
@@ -345,14 +382,15 @@ class PointTransformerV3(nn.Module):
                 y = nn.Dense(dec_channels[s], kernel_init=_trunc02,
                              name=f"unpool{s}_proj")(feat)
                 y = bn(dec_channels[s], name=f"unpool{s}_bn")(
-                    y.reshape(b * n, -1), level["mask"].reshape(b * n), train
+                    y.reshape(b * n, -1), level["mask"].reshape(b * n),
+                    train, ctx
                 )
                 y = nn.relu(y).reshape(b, n, -1)
                 sk = nn.Dense(dec_channels[s], kernel_init=_trunc02,
                               name=f"unpool{s}_skip")(skip_feat)
                 sk = bn(dec_channels[s], name=f"unpool{s}_skip_bn")(
                     sk.reshape(b * n, -1),
-                    skip_level["mask"].reshape(b * n), train,
+                    skip_level["mask"].reshape(b * n), train, ctx,
                 )
                 sk = nn.relu(sk).reshape(b, n, -1)
                 flat_c2p = flatten_slot_map(c2p)
@@ -374,8 +412,9 @@ class PointTransformerV3(nn.Module):
                         dec_channels[s], self.dec_num_head[s],
                         self.dec_patch_size[s], self.mlp_ratio,
                         dec_dp[base + i], self.qkv_bias, self.enable_rpe,
-                        name=f"dec{s}_block{i}",
-                    )(feat, stage_nbr, perms[oi], invs[oi], m, train, grid=g)
+                        ln, name=f"dec{s}_block{i}",
+                    )(feat, stage_nbr, perms[oi], invs[oi], m, train, grid=g,
+                      context=ctx)
             return jnp.where(level["mask"][..., None], feat, 0.0)
 
         # cls mode: features at the coarsest level; caller pools

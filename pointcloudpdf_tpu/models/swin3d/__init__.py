@@ -1,1 +1,1 @@
-from .swin3d import swin3d_v1m1
+from .swin3d import Swin3DUNet

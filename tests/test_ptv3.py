@@ -147,3 +147,50 @@ class TestPTv3:
         leaves = jax.tree_util.tree_leaves(grads)
         assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
         assert sum(float(jnp.sum(jnp.abs(g))) for g in leaves) > 0
+
+
+class TestPTv3PDNorm:
+    def test_pdnorm_bn_ln_conditions(self):
+        import functools
+
+        rng = np.random.RandomState(0)
+        model = build_model(
+            dict(
+                type="PT-v3m1",
+                in_channels=6,
+                order=("z",),
+                stride=(2,),
+                enc_depths=(1, 1),
+                enc_channels=(8, 16),
+                enc_num_head=(2, 2),
+                enc_patch_size=(16, 16),
+                dec_depths=(1,),
+                dec_channels=(8,),
+                dec_num_head=(2,),
+                dec_patch_size=(16,),
+                drop_path=0.0,
+                pdnorm_bn=True,
+                pdnorm_ln=True,
+                pdnorm_decouple=True,
+                pdnorm_adaptive=False,
+                pdnorm_conditions=("ScanNet", "S3DIS"),
+            )
+        )
+        coord = rng.rand(2, 96, 3).astype(np.float32)
+        batch = dict(
+            coord=jnp.asarray(coord),
+            grid_coord=jnp.asarray((coord / 0.05).astype(np.int32)),
+            feat=jnp.asarray(rng.rand(2, 96, 6).astype(np.float32)),
+            mask=jnp.ones((2, 96), bool),
+        )
+        variables = jax.jit(
+            functools.partial(model.init, train=False, condition="ScanNet")
+        )({"params": jax.random.PRNGKey(0)}, batch)
+        # decoupled banks present in both BN stats and LN affine params
+        stats = jax.tree_util.tree_leaves(variables["batch_stats"])
+        assert stats and all(s.shape[0] == 2 for s in stats)
+        out = jax.jit(
+            functools.partial(model.apply, train=False, condition="S3DIS")
+        )(variables, batch)
+        assert out.shape == (2, 96, 8)
+        assert np.isfinite(np.asarray(out)).all()
