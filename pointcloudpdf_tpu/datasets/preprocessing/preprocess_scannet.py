@@ -30,13 +30,11 @@ IGNORE = -1
 
 
 def read_ply(path):
-    import plyfile
+    from .ply_io import read_mesh
 
-    ply = plyfile.PlyData.read(path)
-    v = ply["vertex"]
-    coord = np.stack([v["x"], v["y"], v["z"]], axis=1).astype(np.float32)
-    color = np.stack([v["red"], v["green"], v["blue"]], axis=1).astype(np.uint8)
-    faces = np.stack(ply["face"]["vertex_indices"]) if "face" in ply else None
+    coord, color, _, faces = read_mesh(path)
+    color = (np.zeros((len(coord), 3), np.uint8) if color is None
+             else color.astype(np.uint8))
     return coord, color, faces
 
 
@@ -78,10 +76,10 @@ def process_scene(scene_dir, output_root, split, label_map):
 
     label_path = os.path.join(scene_dir, f"{scene}_vh_clean_2.labels.ply")
     if os.path.isfile(label_path):
-        import plyfile
+        from .ply_io import read_ply as read_ply_full
 
         labels = np.asarray(
-            plyfile.PlyData.read(label_path)["vertex"]["label"]
+            read_ply_full(label_path)["vertex"]["label"]
         ).astype(np.int64)
         lut20 = {cid: i for i, cid in enumerate(VALID_CLASS_IDS_20)}
         for cid, idx in lut20.items():
@@ -122,22 +120,35 @@ def main():
     parser.add_argument("--num_workers", type=int, default=4)
     args = parser.parse_args()
 
-    tsv = os.path.join(args.dataset_root, "scannetv2-labels.combined.tsv")
+    # look next to the raw scans first, then at the packaged benchmark
+    # metadata (scannet_meta/, see its README)
+    meta_dir = os.path.join(os.path.dirname(__file__), "scannet_meta")
+
+    def _meta(name):
+        local = os.path.join(args.dataset_root, name)
+        return local if os.path.isfile(local) else os.path.join(meta_dir, name)
+
+    tsv = _meta("scannetv2-labels.combined.tsv")
     label_map = load_label_map(tsv) if os.path.isfile(tsv) else None
     # official split lists if present, else everything under scans/
     for split, sub in (("train", "scans"), ("val", "scans"), ("test", "scans_test")):
-        list_path = os.path.join(
-            args.dataset_root, f"scannetv2_{split}.txt"
-        )
+        list_path = _meta(f"scannetv2_{split}.txt")
+        scenes = []
         if os.path.isfile(list_path):
             scenes = [
                 os.path.join(args.dataset_root, sub, s.strip())
                 for s in open(list_path) if s.strip()
             ]
-        elif split == "train":
-            scenes = sorted(glob.glob(os.path.join(args.dataset_root, sub, "scene*")))
-        else:
-            continue
+            # the packaged official list names scenes a custom raw dir may
+            # not have — keep only those actually present
+            if not list_path.startswith(args.dataset_root):
+                scenes = [s for s in scenes if os.path.isdir(s)]
+        if not scenes:
+            if split == "train":
+                scenes = sorted(
+                    glob.glob(os.path.join(args.dataset_root, sub, "scene*")))
+            else:
+                continue
         print(f"{split}: {len(scenes)} scenes")
         with ProcessPoolExecutor(max_workers=args.num_workers) as pool:
             for out in pool.map(

@@ -224,6 +224,12 @@ class SpUNet(nn.Module):
     norm_affine: bool = True
     context_channels: int = 256
     zero_init: bool = True
+    # per-level voxel capacity: each 2x stride halves the static buffer
+    # (a 2x stride merges >=2 surface voxels per parent in practice, so
+    # N/2^s is conservative; unique_parents drops + flags any overflow).
+    # 1.0 restores the old full-capacity-at-every-level behavior.
+    level_capacity_factor: float = 0.5
+    min_level_capacity: int = 128
 
     @nn.compact
     def __call__(self, input_dict: Dict, train: bool = True,
@@ -271,21 +277,27 @@ class SpUNet(nn.Module):
         skips = [(y, flat_mask, nbr3)]
         down_maps = []  # (c2p_flat, pos, valid, child_mask_flat)
         enc_channels = self.base_channels
+        level_n = n
         for s in range(num_stages):
+            n_child = level_n
+            level_n = max(
+                int(level_n * self.level_capacity_factor),
+                min(self.min_level_capacity, n_child),
+            )
             pos = (
                 (level_grid[..., 0] % 2) * 4
                 + (level_grid[..., 1] % 2) * 2
                 + (level_grid[..., 2] % 2)
-            ).reshape(b * n)
+            ).reshape(b * n_child)
             p_grid, p_mask, c2p = jax.vmap(
-                lambda g, m: unique_parents(g, m, 2)
+                lambda g, m: unique_parents(g, m, 2, capacity=level_n)
             )(level_grid, level_mask)
-            c2p_flat = _flatten_map(c2p)
+            c2p_flat = _flatten_map(c2p, level_n)
             valid = c2p_flat >= 0
-            flat_p_mask = p_mask.reshape(b * n)
+            flat_p_mask = p_mask.reshape(b * level_n)
             y = SparseDownConv(y.shape[-1], self.channels[s],
                                name=f"down{s}")(
-                y, c2p_flat, pos, valid, b * n
+                y, c2p_flat, pos, valid, b * level_n
             )
             y = bn(self.channels[s], name=f"down_bn{s}")(
                 y, flat_p_mask, train, ctx
@@ -333,14 +345,14 @@ class SpUNet(nn.Module):
                     )
                 out_mask = skip_mask
         else:
-            out_mask = level_mask.reshape(b * n)
+            out_mask = level_mask.reshape(b * level_n)
 
         if self.num_classes > 0:
             y = nn.Dense(self.num_classes, kernel_init=_trunc02,
                          name="final")(y)
         if self.cls_mode:
             y = masked_mean(
-                y.reshape(b, n, -1), out_mask.reshape(b, n), axis=1
+                y.reshape(b, level_n, -1), out_mask.reshape(b, level_n), axis=1
             )
             return y
         y = jnp.where(out_mask[:, None], y, 0.0)

@@ -85,15 +85,22 @@ def neighbor_table(grid: jnp.ndarray, mask: jnp.ndarray,
     return jnp.where(valid, nbr, -1)
 
 
-def unique_parents(grid: jnp.ndarray, mask: jnp.ndarray, stride: int
+def unique_parents(grid: jnp.ndarray, mask: jnp.ndarray, stride: int,
+                   capacity: Optional[int] = None,
                    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Dedup ``grid // stride`` at fixed capacity N.
+    """Dedup ``grid // stride`` at fixed ``capacity`` (default N).
 
-    Returns (parent_grid (N, 3), parent_mask (N,), child_to_parent (N,)):
-    the first ``P`` slots hold the P unique parent voxels (sorted by key),
-    and each valid child maps to its parent slot (-1 for padding).
+    Returns (parent_grid (cap, 3), parent_mask (cap,), child_to_parent
+    (N,)): the first ``P`` slots hold the P unique parent voxels (sorted
+    by key), and each valid child maps to its parent slot (-1 for
+    padding).  A 2x voxel stride merges >=2x points per occupied parent
+    on real surface scans, so ``capacity = N // 2`` is a safe static
+    shrink; if the unique-parent count ever exceeds capacity, the excess
+    parents (largest keys) are dropped and their children map to -1 —
+    the overflow guard keeps index maps in range instead of corrupting.
     """
     n = grid.shape[0]
+    cap = n if capacity is None else min(capacity, n)
     p_grid_all = grid // stride
     keys = jnp.where(mask, pack_grid(p_grid_all), _INVALID_KEY)
     sorted_keys = jnp.sort(keys)
@@ -106,7 +113,7 @@ def unique_parents(grid: jnp.ndarray, mask: jnp.ndarray, stride: int
     order = jnp.argsort(jnp.where(is_first, 0, 1), stable=True)
     parent_keys = jnp.where(
         jnp.arange(n) < jnp.sum(is_first), sorted_keys[order], _INVALID_KEY
-    )
+    )[:cap]
     parent_mask = parent_keys != _INVALID_KEY
     # parents unpack from keys
     pk = parent_keys.astype(jnp.uint32)
@@ -119,10 +126,11 @@ def unique_parents(grid: jnp.ndarray, mask: jnp.ndarray, stride: int
         axis=-1,
     ).astype(jnp.int32)
     parent_grid = jnp.where(parent_mask[:, None], parent_grid, 0)
-    # child -> parent slot via binary search over parent_keys
+    # child -> parent slot via binary search over parent_keys; children of
+    # capacity-overflow parents miss the (truncated) table and stay -1
     child_keys = jnp.where(mask, pack_grid(p_grid_all), _INVALID_KEY)
     pos = jnp.searchsorted(parent_keys, child_keys)
-    pos = jnp.clip(pos, 0, n - 1)
+    pos = jnp.clip(pos, 0, cap - 1)
     hit = (parent_keys[pos] == child_keys) & mask
     child_to_parent = jnp.where(hit, pos, -1).astype(jnp.int32)
     return parent_grid, parent_mask, child_to_parent
@@ -174,8 +182,14 @@ def flatten_neighbor_rows(nbr: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(nbr >= 0, nbr + base, -1).reshape(b * n, k)
 
 
-def flatten_slot_map(idx: jnp.ndarray) -> jnp.ndarray:
-    """(B, N) per-sample slots -> (B*N,) flat slots (-1 kept)."""
+def flatten_slot_map(idx: jnp.ndarray,
+                     slot_count: Optional[int] = None) -> jnp.ndarray:
+    """(B, N) per-sample slots -> (B*N,) flat slots (-1 kept).
+
+    ``slot_count`` is the per-sample size of the *target* array (the
+    parent capacity); defaults to N for same-size maps.
+    """
     b, n = idx.shape
-    base = (jnp.arange(b, dtype=jnp.int32) * n)[:, None]
+    stride = n if slot_count is None else slot_count
+    base = (jnp.arange(b, dtype=jnp.int32) * stride)[:, None]
     return jnp.where(idx >= 0, idx + base, -1).reshape(b * n)

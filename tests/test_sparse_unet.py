@@ -73,6 +73,37 @@ class TestVoxelOps:
             assert tuple(p_grid[c2p[i]]) == tuple(g[i] // 2)
         assert (c2p[40:] == -1).all()
 
+    def test_unique_parents_capacity(self, rng):
+        """Shrunk static capacity: results identical while the unique
+        count fits; overflowing parents drop with children flagged -1
+        (the SpUNet level_capacity schedule's guard)."""
+        grid, mask = random_voxels(rng, 40, 64, extent=8)
+        g = np.asarray(grid)
+        full = unique_parents(grid, mask, 2)
+        n_unique = int(np.asarray(full[1]).sum())
+
+        # capacity just large enough: bit-identical prefix behavior
+        cap = n_unique + 2
+        p_grid, p_mask, c2p = map(
+            np.asarray, unique_parents(grid, mask, 2, capacity=cap))
+        assert p_grid.shape == (cap, 3) and int(p_mask.sum()) == n_unique
+        for i in range(40):
+            assert tuple(p_grid[c2p[i]]) == tuple(g[i] // 2)
+
+        # overflow: the smallest-key parents survive, children of dropped
+        # parents map to -1 instead of aliasing a wrong slot
+        cap = max(n_unique // 2, 1)
+        p_grid, p_mask, c2p = map(
+            np.asarray, unique_parents(grid, mask, 2, capacity=cap))
+        assert int(p_mask.sum()) == cap
+        kept = {tuple(p_grid[i]) for i in range(cap)}
+        for i in range(40):
+            parent = tuple(g[i] // 2)
+            if parent in kept:
+                assert tuple(p_grid[c2p[i]]) == parent
+            else:
+                assert c2p[i] == -1
+
     def test_gather_conv_matches_dense(self, rng):
         grid, mask = random_voxels(rng, 30, 32, extent=5)
         offsets = kernel_offsets(3)

@@ -140,3 +140,90 @@ def test_st_v1m2_refined_builds_and_runs():
              jax.tree_util.tree_leaves_with_path(variables["params"])]
     assert any("layer1_block0" in s for s in names)
     assert any("layer3_block0" in s for s in names)
+
+
+class TestFixedKTruncationParity:
+    """VERDICT r1 'weak #3': the fixed-K redesign must equal faithful
+    full-window attention whenever every window holds <= k_local points.
+
+    Builds the local key set exactly the way ST-v1m1 does (same-window
+    kNN with k_local >= N, k_sparse = 0) and checks the dense masked MHA
+    against an independent all-pairs reference computed from the same
+    parameters.
+    """
+
+    def test_matches_full_window_attention(self, rng):
+        from pointcloudpdf_tpu.models.stratified_transformer.st import (
+            StratifiedWindowAttention, _window_ids)
+        from pointcloudpdf_tpu.ops.geometry import knn
+
+        B, N, dim, heads = 1, 40, 16, 2
+        window, quant = 0.5, 0.05
+        coord = jnp.asarray(rng.rand(B, N, 3).astype(np.float32))
+        feat = jnp.asarray(rng.rand(B, N, dim).astype(np.float32))
+        mask = np.ones((B, N), bool)
+        mask[0, -6:] = False  # padded tail
+        mask = jnp.asarray(mask)
+
+        # ST's local key set at full capacity: kNN(k=N) filtered to the
+        # query's window — with k_local = N this IS the whole window
+        win = _window_ids(coord, mask, window, shift=False)
+        idx_l, d_l = jax.vmap(lambda c, m: knn(c, c, N, ref_mask=m))(
+            coord, mask)
+        win_l = jnp.take_along_axis(
+            win, idx_l.reshape(B, -1), axis=1).reshape(idx_l.shape)
+        key_mask = jnp.isfinite(d_l) & (win_l == win[..., None])
+        key_idx = jnp.where(key_mask, idx_l, 0)
+
+        attn = StratifiedWindowAttention(
+            dim, heads, window, quant,
+            rel_query=True, rel_key=True, rel_value=True,
+        )
+        variables = jit_init(attn, jax.random.PRNGKey(0),
+                             feat, coord, key_idx, key_mask, mask,
+                             train=False)
+        out = jit_apply(attn, variables,
+                        feat, coord, key_idx, key_mask, mask, train=False)
+
+        # independent all-pairs reference from the same parameters
+        p = variables["params"]
+        hd = dim // heads
+        L = int((2 * window + 1e-4) // quant)
+        qkv = feat @ p["qkv"]["kernel"] + p["qkv"]["bias"]
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = np.asarray(q.reshape(N, heads, hd))
+        k = np.asarray(k.reshape(N, heads, hd))
+        v = np.asarray(v.reshape(N, heads, hd))
+        coord_np = np.asarray(coord[0])
+        win_np = np.asarray(win[0])
+        mask_np = np.asarray(mask[0])
+        tq = np.asarray(p["rel_query_table"])
+        tk = np.asarray(p["rel_key_table"])
+        tv = np.asarray(p["rel_value_table"])
+        proj_w = np.asarray(p["proj"]["kernel"])
+        proj_b = np.asarray(p["proj"]["bias"])
+
+        expected = np.zeros((N, dim), np.float32)
+        for i in range(N):
+            if not mask_np[i]:
+                continue
+            keys = [j for j in range(N)
+                    if mask_np[j] and win_np[j] == win_np[i]]
+            rel = coord_np[i] - coord_np[keys]                 # (M, 3)
+            bins = np.clip(np.floor(
+                (rel + 2 * window - 1e-4) / quant).astype(int), 0, 2 * L - 1)
+            logits = np.einsum(
+                "hd,mhd->mh", q[i] * hd ** -0.5, k[keys])
+            for a in range(3):
+                logits += np.einsum("hd,mhd->mh", q[i],
+                                    tq[bins[:, a], :, :, a])
+                logits += np.einsum("mhd,mhd->mh", k[keys],
+                                    tk[bins[:, a], :, :, a])
+            w = np.exp(logits - logits.max(0, keepdims=True))
+            w = w / w.sum(0, keepdims=True)
+            v_pe = v[keys] + sum(tv[bins[:, a], :, :, a] for a in range(3))
+            expected[i] = np.einsum(
+                "mh,mhd->hd", w, v_pe).reshape(dim) @ proj_w + proj_b
+
+        np.testing.assert_allclose(
+            np.asarray(out[0]), expected, rtol=2e-3, atol=2e-3)
