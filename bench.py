@@ -45,8 +45,9 @@ NUM_CLASSES = 20
 WARMUP = 2
 ITERS = 10
 
-# TPU v5p peak (bf16); used only for the reported MFU accounting
-TPU_PEAK_FLOPS = 459e12
+# this box exposes one TPU v5 lite (v5e) chip: 197 TFLOP/s bf16 peak;
+# used only for the reported MFU accounting
+TPU_PEAK_FLOPS = 197e12
 
 
 def _sync_scalar(x) -> float:
@@ -213,7 +214,7 @@ def bench_quality(rng):
     import jax
     import jax.numpy as jnp
 
-    from pointcloudpdf_tpu.ops.geometry import _knn_tpu_approx, _pairwise_dist2
+    from pointcloudpdf_tpu.ops.geometry import knn, _pairwise_dist2
 
     out = {}
     # kNN recall: 4096 queries over a 32768 cloud, k=16
@@ -223,8 +224,9 @@ def bench_quality(rng):
     mask = jnp.ones((N_POINTS,), bool)
 
     if jax.default_backend() == "tpu":
+        # measures whatever dispatch path knn() actually takes at this size
         approx_idx, _ = jax.jit(
-            lambda q, r, m: _knn_tpu_approx(q, r, k, m)
+            lambda q, r, m: knn(q, r, k, ref_mask=m)
         )(query, ref, mask)
 
         @jax.jit

@@ -194,3 +194,112 @@ class TestMask:
             [[1, 1, 0, 0, 0], [0, 0, 0, 0, 0], [1, 1, 1, 1, 1]], dtype=bool
         )
         np.testing.assert_array_equal(m, expected)
+
+
+class TestKnnSerial:
+    """Serialization-window kNN (the TPU large-N fallback, dispatched
+    for refs beyond ~131k where the O(M*N) fused-brute select stream
+    becomes the bottleneck) vs float64 ground truth.
+
+    Recall is distance-based: a returned slot counts iff its distance is
+    within the true k-th radius (+ float32 tie tolerance).  Curve
+    windows are approximate by construction — bars reflect measured
+    behavior per cloud type (uniform 3D is the hardest case for
+    space-filling-curve locality; voxelized scans and cross-set queries
+    do better).
+    """
+
+    def _dist_recall(self, query, ref, k, ref_mask=None, **kw):
+        import jax
+        from scipy.spatial import cKDTree
+
+        from pointcloudpdf_tpu.ops.geometry import knn_serial
+
+        if query is ref:
+            g_idx, g_d2 = jax.jit(
+                lambda r, m: knn_serial(r, r, k, ref_mask=m, **kw)
+            )(ref, ref_mask)
+        else:
+            g_idx, g_d2 = jax.jit(
+                lambda q, r, m: knn_serial(q, r, k, ref_mask=m, **kw)
+            )(query, ref, ref_mask)
+        g_d2 = np.asarray(g_d2)
+        rnp = np.asarray(ref, np.float64)
+        if ref_mask is not None:
+            rnp = rnp[np.asarray(ref_mask)]
+        kk = min(k, len(rnp))
+        true_d, _ = cKDTree(rnp).query(np.asarray(query, np.float64), k=kk)
+        true_kth2 = (true_d[:, -1] ** 2) if kk > 1 else true_d ** 2
+        tol = 1e-6 + 1e-5 * true_kth2
+        ok = g_d2[:, :kk] <= (true_kth2[:, None] + tol[:, None])
+        return float(ok.mean())
+
+    def test_uniform_cloud(self, rng):
+        import jax.numpy as jnp
+
+        ref = jnp.asarray(rng.rand(4096, 3).astype(np.float32) * 4.0)
+        assert self._dist_recall(ref, ref, 16) >= 0.95
+
+    def test_voxelized_surface(self, rng):
+        import jax.numpy as jnp
+
+        pts = np.concatenate(
+            [rng.rand(60000, 2) * 6.0,
+             np.sin(rng.rand(60000, 1) * 6) + rng.randn(60000, 1) * 0.02],
+            axis=1)
+        vox = np.unique(np.floor(pts / 0.04).astype(np.int64), axis=0)
+        ref = jnp.asarray(vox[:4096].astype(np.float32) * 0.04)
+        assert self._dist_recall(ref, ref, 16) >= 0.96
+
+    def test_long_extent_cloud(self, rng):
+        import jax.numpy as jnp
+
+        ref = rng.rand(4096, 3).astype(np.float32)
+        ref[:, 0] *= 60.0  # outdoor-scan aspect ratio
+        ref = jnp.asarray(ref)
+        assert self._dist_recall(ref, ref, 8) >= 0.99
+
+    def test_cross_set_queries(self, rng):
+        """FPS-downsample and interpolation shapes (the model's cross
+        calls) rank into the ref ordering by binary search."""
+        import jax.numpy as jnp
+
+        pts = np.concatenate(
+            [rng.rand(60000, 2) * 6.0,
+             np.sin(rng.rand(60000, 1) * 6) + rng.randn(60000, 1) * 0.02],
+            axis=1)
+        vox = np.unique(np.floor(pts / 0.04).astype(np.int64), axis=0)
+        ref = jnp.asarray(vox[:4096].astype(np.float32) * 0.04)
+        sub = jnp.asarray(np.asarray(ref)[rng.permutation(4096)[:1024]])
+        assert self._dist_recall(sub, ref, 16) >= 0.98     # downsample
+        assert self._dist_recall(ref, sub, 3) >= 0.98      # upsample
+
+    def test_mask_exclusion_and_sorted(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from pointcloudpdf_tpu.ops.geometry import knn_serial
+
+        ref = jnp.asarray(rng.rand(2048, 3).astype(np.float32))
+        query = jnp.asarray(rng.rand(512, 3).astype(np.float32))
+        mask = np.ones(2048, bool)
+        mask[1500:] = False
+        idx, d2 = jax.jit(
+            lambda q, r, m: knn_serial(q, r, 8, ref_mask=m)
+        )(query, ref, jnp.asarray(mask))
+        idx, d2 = np.asarray(idx), np.asarray(d2)
+        # masked refs never appear in results
+        assert not np.isin(idx[np.isfinite(d2)], np.arange(1500, 2048)).any()
+        finite = np.isfinite(d2)
+        assert (np.diff(np.where(finite, d2, np.inf), axis=1)
+                [finite[:, 1:]] >= -1e-6).all()
+
+    def test_self_recovered(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from pointcloudpdf_tpu.ops.geometry import knn_serial
+
+        ref = jnp.asarray(rng.rand(1024, 3).astype(np.float32))
+        idx, d2 = jax.jit(lambda r: knn_serial(r, r, 8))(ref)
+        assert np.allclose(np.asarray(d2)[:, 0], 0.0, atol=1e-9)
