@@ -148,8 +148,22 @@ def bench_ptv1(rng):
         extras["mfu"] = round(flops / dt / TPU_PEAK_FLOPS, 4)
 
     # --- train step (fwd + bwd + AdamW update), donated state ----------
+    # bf16 activations (backbone amp) measured +8% on the train step but
+    # -7% on eval-mode inference on this v5e (cast overhead beats the
+    # halved elementwise traffic there), so amp is on for training only
     import optax
 
+    model = build_model(
+        dict(
+            type="DefaultSegmentor",
+            backbone=dict(
+                type="PointTransformer-Seg50", in_channels=6,
+                num_classes=NUM_CLASSES, amp=True,
+            ),
+            criteria=[dict(type="CrossEntropyLoss", loss_weight=1.0,
+                           ignore_index=-1)],
+        )
+    )
     variables_t = jax.jit(functools.partial(model.init, train=True))(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
         batch,

@@ -12,7 +12,8 @@ MaskedBatchNorm over (B, N, K).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+import functools
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -38,17 +39,20 @@ class PointTransformerLayer(nn.Module):
     out_planes: int
     share_planes: int = 8
     nsample: int = 16
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, pts: Points, train: bool = True,
                  nbr=None) -> jnp.ndarray:
         coord, x, mask = pts
+        x = x.astype(self.dtype)
         mid = self.out_planes
         groups = self.out_planes // self.share_planes
 
-        x_q = nn.Dense(mid, name="linear_q")(x)
-        x_k = nn.Dense(mid, name="linear_k")(x)
-        x_v = nn.Dense(self.out_planes, name="linear_v")(x)
+        dense = functools.partial(nn.Dense, dtype=self.dtype)
+        x_q = dense(mid, name="linear_q")(x)
+        x_k = dense(mid, name="linear_k")(x)
+        x_v = dense(self.out_planes, name="linear_v")(x)
 
         if nbr is None:
             idx, dist2 = jax.vmap(
@@ -68,10 +72,10 @@ class PointTransformerLayer(nn.Module):
         p_r, k_g = k_g[..., :3], k_g[..., 3:]
 
         # positional encoding MLP: Dense(3) -> BN -> relu -> Dense(out)
-        p_r = nn.Dense(3, name="linear_p1")(p_r)
+        p_r = dense(3, name="linear_p1")(p_r.astype(self.dtype))
         p_r = MaskedBatchNorm(3, name="bn_p")(p_r, nmask, train)
         p_r = nn.relu(p_r)
-        p_r = nn.Dense(self.out_planes, name="linear_p2")(p_r)
+        p_r = dense(self.out_planes, name="linear_p2")(p_r)
 
         # relation: k - q + sum of p_r share-groups (identity when mid==out)
         p_r_reduced = p_r.reshape(p_r.shape[:-1] + (-1, mid)).sum(axis=-2)
@@ -80,11 +84,12 @@ class PointTransformerLayer(nn.Module):
         # weight MLP: BN -> relu -> Dense(groups) -> BN -> relu -> Dense(groups)
         w = MaskedBatchNorm(mid, name="bn_w1")(r_qk, nmask, train)
         w = nn.relu(w)
-        w = nn.Dense(groups, name="linear_w1")(w)
+        w = dense(groups, name="linear_w1")(w)
         w = MaskedBatchNorm(groups, name="bn_w2")(w, nmask, train)
         w = nn.relu(w)
-        w = nn.Dense(groups, name="linear_w2")(w)
-        w = masked_softmax(w, nmask[..., None], axis=2)  # softmax over K
+        w = dense(groups, name="linear_w2")(w)
+        # softmax in f32: bf16 exp/normalize loses attention mass
+        w = masked_softmax(w.astype(jnp.float32), nmask[..., None], axis=2)
 
         # aggregation: out[n, s, g] = sum_k (v + p_r)[n, k, s, g] * w[n, k, g]
         v_pe = (v_g + p_r).reshape(
@@ -109,12 +114,15 @@ class TransitionDown(nn.Module):
     stride: int = 1
     nsample: int = 16
     fps_group_steps: int = 64
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, pts: Points, train: bool = True) -> Points:
         coord, x, mask = pts
+        x = x.astype(self.dtype)
         if self.stride == 1:
-            y = nn.Dense(self.out_planes, use_bias=False, name="linear")(x)
+            y = nn.Dense(self.out_planes, use_bias=False, name="linear",
+                         dtype=self.dtype)(x)
             y = MaskedBatchNorm(self.out_planes, name="bn")(y, mask, train)
             y = nn.relu(y)
             return Points(coord, jnp.where(mask[..., None], y, 0.0), mask)
@@ -136,7 +144,8 @@ class TransitionDown(nn.Module):
             lambda f, i, c, nc: grouping(f, i, c, nc, with_coord=True)
         )(x, nidx, coord, new_coord)                  # (B, M, K, 3+C)
 
-        y = nn.Dense(self.out_planes, use_bias=False, name="linear")(grouped)
+        y = nn.Dense(self.out_planes, use_bias=False, name="linear",
+                     dtype=self.dtype)(grouped.astype(self.dtype))
         y = MaskedBatchNorm(self.out_planes, name="bn")(y, nmask, train)
         y = nn.relu(y)
         y = masked_max(y, nmask, axis=-2)             # (B, M, C)
@@ -153,27 +162,33 @@ class TransitionUp(nn.Module):
 
     in_planes: int
     out_planes: Optional[int] = None
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, pts: Points, coarse: Optional[Points] = None,
                  train: bool = True) -> jnp.ndarray:
         coord, x, mask = pts
+        x = x.astype(self.dtype)
         if coarse is None:
             # global-context head: x <- linear1([x ; linear2(mean(x))])
             ctx = masked_mean(x, mask, axis=1)                   # (B, C)
-            ctx = nn.relu(nn.Dense(self.in_planes, name="linear2")(ctx))
+            ctx = nn.relu(nn.Dense(self.in_planes, name="linear2",
+                                   dtype=self.dtype)(ctx))
             ctx = jnp.broadcast_to(ctx[:, None, :], x.shape)
             y = jnp.concatenate([x, ctx], axis=-1)
-            y = nn.Dense(self.in_planes, name="linear1")(y)
+            y = nn.Dense(self.in_planes, name="linear1",
+                         dtype=self.dtype)(y)
             y = MaskedBatchNorm(self.in_planes, name="bn1")(y, mask, train)
             y = nn.relu(y)
             return jnp.where(mask[..., None], y, 0.0)
 
         c_coord, c_x, c_mask = coarse
-        skip = nn.Dense(self.out_planes, name="linear1")(x)
+        skip = nn.Dense(self.out_planes, name="linear1",
+                        dtype=self.dtype)(x)
         skip = MaskedBatchNorm(self.out_planes, name="bn1")(skip, mask, train)
         skip = nn.relu(skip)
-        up = nn.Dense(self.out_planes, name="linear2")(c_x)
+        up = nn.Dense(self.out_planes, name="linear2",
+                      dtype=self.dtype)(c_x.astype(self.dtype))
         up = MaskedBatchNorm(self.out_planes, name="bn2")(up, c_mask, train)
         up = nn.relu(up)
         up = jax.vmap(
@@ -193,21 +208,25 @@ class Bottleneck(nn.Module):
     share_planes: int = 8
     nsample: int = 16
     expansion: int = 1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, pts: Points, train: bool = True, nbr=None) -> Points:
         coord, x, mask = pts
+        x = x.astype(self.dtype)
         identity = x
-        y = nn.Dense(self.planes, use_bias=False, name="linear1")(x)
+        y = nn.Dense(self.planes, use_bias=False, name="linear1",
+                     dtype=self.dtype)(x)
         y = MaskedBatchNorm(self.planes, name="bn1")(y, mask, train)
         y = nn.relu(y)
         y = PointTransformerLayer(
             self.planes, self.planes, self.share_planes, self.nsample,
-            name="transformer",
+            dtype=self.dtype, name="transformer",
         )(Points(coord, y, mask), train, nbr)
         y = MaskedBatchNorm(self.planes, name="bn2")(y, mask, train)
         y = nn.relu(y)
-        y = nn.Dense(self.planes * self.expansion, use_bias=False, name="linear3")(y)
+        y = nn.Dense(self.planes * self.expansion, use_bias=False,
+                     name="linear3", dtype=self.dtype)(y)
         y = MaskedBatchNorm(self.planes * self.expansion, name="bn3")(y, mask, train)
         y = nn.relu(y + identity)
         return Points(coord, jnp.where(mask[..., None], y, 0.0), mask)

@@ -10,7 +10,7 @@ Points — the functional replacement for the reference's forward hooks
 
 from __future__ import annotations
 
-from typing import Dict, Sequence, Tuple
+from typing import Any, Dict, Sequence, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -32,6 +32,7 @@ class EncoderStage(nn.Module):
     blocks: int
     stride: int
     nsample: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, pts: Points, train: bool = True) -> Points:
@@ -40,7 +41,8 @@ class EncoderStage(nn.Module):
         from ...ops.geometry import knn
 
         pts = TransitionDown(
-            self.in_planes, self.planes, self.stride, self.nsample, name="down"
+            self.in_planes, self.planes, self.stride, self.nsample,
+            dtype=self.dtype, name="down"
         )(pts, train)
         # one kNN table per stage: coords are fixed after the down step
         idx, dist2 = jax.vmap(
@@ -50,7 +52,7 @@ class EncoderStage(nn.Module):
         for i in range(self.blocks):
             pts = Bottleneck(
                 self.planes, self.planes, SHARE_PLANES, self.nsample,
-                name=f"block{i}",
+                dtype=self.dtype, name=f"block{i}",
             )(pts, train, nbr)
         return pts
 
@@ -61,6 +63,7 @@ class DecoderStage(nn.Module):
     blocks: int
     nsample: int
     is_head: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, pts: Points, coarse=None, train: bool = True) -> Points:
@@ -69,7 +72,8 @@ class DecoderStage(nn.Module):
         from ...ops.geometry import knn
 
         feat = TransitionUp(
-            self.in_planes, None if self.is_head else self.planes, name="up"
+            self.in_planes, None if self.is_head else self.planes,
+            dtype=self.dtype, name="up"
         )(pts, coarse, train)
         pts = Points(pts.coord, feat, pts.mask)
         idx, dist2 = jax.vmap(
@@ -79,24 +83,32 @@ class DecoderStage(nn.Module):
         for i in range(self.blocks):
             pts = Bottleneck(
                 self.planes, self.planes, SHARE_PLANES, self.nsample,
-                name=f"block{i}",
+                dtype=self.dtype, name=f"block{i}",
             )(pts, train, nbr)
         return pts
 
 
 class PointTransformerSeg(nn.Module):
-    """U-shaped PT-v1; returns (seg_logits (B,N,num_classes), intermediates)."""
+    """U-shaped PT-v1; returns (seg_logits (B,N,num_classes), intermediates).
+
+    ``amp=True`` runs the feature path in bfloat16 (params, BN statistics,
+    attention softmax, and the logits head stay float32) — the elementwise
+    HBM traffic that dominates the eval-mode network halves; coordinates
+    and kNN geometry are untouched.  Mirrors the reference's AMP autocast
+    (its configs train PT-v1 under fp16 AMP)."""
 
     blocks: Sequence[int]
     in_channels: int = 6
     num_classes: int = 13
+    amp: bool = False
 
     @nn.compact
     def __call__(self, input_dict: Dict, train: bool = True
                  ) -> Tuple[jnp.ndarray, Dict[str, Points]]:
+        dtype = jnp.bfloat16 if self.amp else jnp.float32
         pts = Points(
             input_dict["coord"].astype(jnp.float32),
-            input_dict["feat"],
+            input_dict["feat"].astype(dtype),
             input_dict["mask"],
         )
         inter: Dict[str, Points] = {}
@@ -107,7 +119,8 @@ class PointTransformerSeg(nn.Module):
         for level in range(5):
             pts = EncoderStage(
                 in_planes, planes[level], self.blocks[level],
-                STRIDES[level], NSAMPLES[level], name=f"enc{level + 1}",
+                STRIDES[level], NSAMPLES[level], dtype=dtype,
+                name=f"enc{level + 1}",
             )(pts, train)
             in_planes = planes[level]
             enc_pts.append(pts)
@@ -115,20 +128,24 @@ class PointTransformerSeg(nn.Module):
 
         # decoder: dec5 is the global-context head, dec4..dec1 fuse skips
         dec = DecoderStage(
-            planes[4], planes[4], 1, NSAMPLES[4], is_head=True, name="dec5"
+            planes[4], planes[4], 1, NSAMPLES[4], is_head=True, dtype=dtype,
+            name="dec5"
         )(enc_pts[4], None, train)
         inter["dec5"] = dec
         for level in range(3, -1, -1):
             dec = DecoderStage(
                 planes[level + 1], planes[level], 1, NSAMPLES[level],
-                name=f"dec{level + 1}",
+                dtype=dtype, name=f"dec{level + 1}",
             )(enc_pts[level], dec, train)
             inter[f"dec{level + 1}"] = dec
 
-        y = nn.Dense(planes[0], name="cls1")(dec.feat)
+        y = nn.Dense(planes[0], name="cls1",
+                     dtype=dtype)(dec.feat)
         y = MaskedBatchNorm(planes[0], name="cls_bn")(y, dec.mask, train)
         y = nn.relu(y)
-        seg_logits = nn.Dense(self.num_classes, name="cls2")(y)
+        # logits head back in f32: CE/softmax downstream needs the range
+        seg_logits = nn.Dense(self.num_classes, name="cls2")(
+            y.astype(jnp.float32))
         return seg_logits, inter
 
 

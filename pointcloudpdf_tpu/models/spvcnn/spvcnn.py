@@ -33,11 +33,11 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ...ops.voxel import (
-    build_table,
+    build_hash_table,
     flatten_neighbor_rows as _flatten_nbr,
     flatten_slot_map as _flatten_map,
     kernel_offsets,
-    lookup,
+    lookup_hash,
     neighbor_table,
     pack_grid,
     unique_parents,
@@ -67,7 +67,7 @@ def trilinear_devoxelize(point_grid, point_mask, level_grid, level_mask,
     ts_spvcnn.py:78-122).  At stride 1 this degenerates to reading the
     point's own voxel.
     """
-    keys, rows = build_table(level_grid, level_mask)
+    tables = build_hash_table(level_grid, level_mask)
     cell = point_grid // stride
     frac = (point_grid % stride).astype(jnp.float32) / float(stride)
     out = jnp.zeros((point_grid.shape[0], level_feat.shape[-1]),
@@ -75,7 +75,7 @@ def trilinear_devoxelize(point_grid, point_mask, level_grid, level_mask,
     for corner in itertools.product((0, 1), repeat=3):
         delta = jnp.asarray(corner, jnp.int32)
         q = cell + delta
-        r = lookup(keys, rows, pack_grid(q))
+        r = lookup_hash(tables, pack_grid(q))
         w = jnp.prod(jnp.where(delta == 1, frac, 1.0 - frac), axis=-1)
         w = jnp.where((r >= 0) & point_mask, w, 0.0)
         g = level_feat[jnp.maximum(r, 0)]

@@ -63,6 +63,82 @@ def lookup(table_keys: jnp.ndarray, table_rows: jnp.ndarray,
     return jnp.where(hit, table_rows[pos], -1).astype(jnp.int32)
 
 
+_HASH_MULT = jnp.uint32(2654435761)          # Knuth multiplicative hash
+_HASH_SALTS = (0x9E3779B9, 0x85EBCA6B, 0xC2B2AE35, 0x27D4EB2F)
+_CHECK_SALT = jnp.uint32(0x165667B1)
+_EMPTY_ENTRY = jnp.uint32(0xFFFFFFFF)
+
+
+def _hash_slot(keys, salt, shift):
+    return (((keys ^ salt) * _HASH_MULT) >> shift).astype(jnp.int32)
+
+
+def _hash_check(keys):
+    """Independent 16-bit verification tag in [0, 0xFFFE] (0xFFFF is the
+    empty-slot sentinel's tag)."""
+    tag = ((keys * _HASH_MULT) ^ _CHECK_SALT) >> 17
+    return (tag % jnp.uint32(0xFFFF)).astype(jnp.uint32)
+
+
+def build_hash_table(grid: jnp.ndarray, mask: jnp.ndarray,
+                     n_tables: int = 3, load: int = 2) -> jnp.ndarray:
+    """Multi-round scatter-built voxel hash -> (T, H+1) packed entries.
+
+    ``searchsorted`` lookups cost ~200 ns each on this TPU — the 27xN
+    (3^3) / 125xN (5^3) rulebook queries made ``neighbor_table`` ~85% of
+    the SpUNet forward (profiled 0.7 s / 3.7 s per batch).  Scalar
+    gathers run at ~10 ns, so each probe must be ONE gather: a slot
+    packs a 16-bit verification tag (an independent hash of the key)
+    with the 16-bit row, and the table is built by ``n_tables`` scatter
+    rounds — round t scatters the still-unplaced keys at ``hash_t``,
+    reading back to find colliding-write losers, which move to round
+    t+1.  At load 1/2 the unplaced fraction after 3 rounds is ~1e-4
+    (a lost key's voxel is invisible to neighbor gathers — masked, not
+    corrupt), and a lookup false-positive needs a slot collision AND a
+    tag collision (~1e-5 per probe): both are far below the approx-kNN
+    noise already accepted elsewhere.  Slot H is a dummy that absorbs
+    parked rows.
+    """
+    n = grid.shape[0]
+    assert n <= (1 << 16), "packed rows are 16-bit per sample"
+    h_bits = max((load * n - 1).bit_length(), 4)
+    h = 1 << h_bits
+    shift = 32 - h_bits
+    keys = jnp.where(mask, pack_grid(grid), _INVALID_KEY)
+    entry = (_hash_check(keys) << 16) | jnp.arange(n, dtype=jnp.uint32)
+
+    tables = []
+    pending = mask
+    for t in range(n_tables):
+        salt = jnp.uint32(_HASH_SALTS[t % len(_HASH_SALTS)])
+        slot = _hash_slot(keys, salt, shift)
+        slot = jnp.where(pending, slot, h)           # parked in the dummy
+        tab = jnp.full((h + 1,), _EMPTY_ENTRY).at[slot].set(entry)
+        stored = pending & (tab[jnp.minimum(slot, h)] == entry) & (slot < h)
+        pending = pending & ~stored
+        tables.append(tab)
+    return jnp.stack(tables)
+
+
+def lookup_hash(tables: jnp.ndarray, query_keys: jnp.ndarray
+                ) -> jnp.ndarray:
+    """Row index for each query key via the scatter-built tables (-1 if
+    absent); one gather per probe."""
+    h = tables.shape[1] - 1
+    shift = 32 - (h - 1).bit_length() if h > 1 else 31
+    check = _hash_check(query_keys)
+    valid = query_keys != _INVALID_KEY
+    res = jnp.full(query_keys.shape, -1, jnp.int32)
+    for t in range(tables.shape[0]):
+        salt = jnp.uint32(_HASH_SALTS[t % len(_HASH_SALTS)])
+        slot = _hash_slot(query_keys, salt, shift)
+        e = tables[t][slot]
+        hit = ((e >> 16) == check) & valid
+        res = jnp.where((res < 0) & hit,
+                        (e & jnp.uint32(0xFFFF)).astype(jnp.int32), res)
+    return res
+
+
 def kernel_offsets(kernel_size: int = 3) -> jnp.ndarray:
     """(K^3, 3) int32 offsets, centered (e.g. -1..1 for k=3)."""
     r = range(-(kernel_size // 2), kernel_size // 2 + 1)
@@ -74,13 +150,19 @@ def neighbor_table(grid: jnp.ndarray, mask: jnp.ndarray,
     """(N, K) neighbor row per kernel offset, -1 where absent.
 
     The submanifold-conv rulebook: out[i] = Σ_k W_k · feat[nbr[i, k]].
+    Lookups go through the scatter-built hash (build_hash_table) — the
+    sorted-table/searchsorted formulation cost ~200 ns per query on TPU,
+    which at 27xN..125xN rulebook queries dominated the whole SpUNet
+    forward.
     """
-    keys, rows = build_table(grid, mask)
+    tables = build_hash_table(grid, mask)
     n, k = grid.shape[0], offsets.shape[0]
     q_grid = grid[:, None, :] + offsets[None, :, :]          # (N, K, 3)
     in_bounds = jnp.all(q_grid >= 0, axis=-1)
-    q_keys = pack_grid(jnp.maximum(q_grid, 0)).reshape(-1)
-    nbr = lookup(keys, rows, q_keys).reshape(n, k)
+    q_keys = jnp.where(
+        in_bounds & mask[:, None],
+        pack_grid(jnp.maximum(q_grid, 0)), _INVALID_KEY).reshape(-1)
+    nbr = lookup_hash(tables, q_keys).reshape(n, k)
     valid = mask[:, None] & in_bounds
     return jnp.where(valid, nbr, -1)
 

@@ -139,3 +139,36 @@ class TestLosses:
         target = jnp.asarray(np.random.RandomState(1).randint(-1, 5, 50))
         loss = lv(logits, target)
         assert np.isfinite(float(loss)) and 0 <= float(loss) <= 1
+
+
+class TestAmpPath:
+    """amp=True runs the PT-v1 feature path in bfloat16; predictions must
+    essentially match the f32 run (params/BN stats/softmax/logits stay
+    f32)."""
+
+    def test_bf16_matches_f32(self):
+        rng = np.random.RandomState(3)
+        batch = make_batch(rng)
+
+        def run(amp):
+            model = build_model(dict(
+                type="DefaultSegmentor",
+                backbone=dict(type="PointTransformer-Seg26", in_channels=6,
+                              num_classes=13, amp=amp),
+                criteria=[dict(type="CrossEntropyLoss", loss_weight=1.0,
+                               ignore_index=-1)],
+            ))
+            variables = jit_init(model, {"params": jax.random.PRNGKey(0)},
+                                 batch, train=False)
+            out = jit_apply(model, variables, batch, train=False)
+            return np.asarray(out["seg_logits"])
+
+        f32 = run(False)
+        bf16 = run(True)
+        assert bf16.dtype == np.float32  # head returns f32 either way
+        mask = np.asarray(batch["mask"])
+        agree = (f32.argmax(-1) == bf16.argmax(-1))[mask].mean()
+        assert agree >= 0.97, f"bf16 predictions diverged: {agree}"
+        # relative error on valid logits stays at bf16 noise level
+        denom = np.maximum(np.abs(f32[mask]), 1.0)
+        assert np.median(np.abs(f32[mask] - bf16[mask]) / denom) < 0.05

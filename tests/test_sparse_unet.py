@@ -43,6 +43,27 @@ class TestVoxelOps:
         missing = pack_grid(jnp.asarray([[1000, 1000, 500]], jnp.int32))
         assert int(lookup(keys, rows, missing)[0]) == -1
 
+    def test_hash_table_matches_sorted(self, rng):
+        """The scatter-built hash (the TPU fast path for rulebook
+        lookups) agrees with the sorted-table reference, including
+        misses and masked voxels."""
+        from pointcloudpdf_tpu.ops.voxel import (
+            build_hash_table, lookup_hash, pack_grid)
+
+        grid, mask = random_voxels(rng, 500, 512, extent=12)
+        keys, rows = build_table(grid, mask)
+        tables = build_hash_table(grid, mask)
+
+        g = np.asarray(grid)
+        queries = np.concatenate([
+            g[:400],                                   # present
+            rng.randint(0, 24, (100, 3)),              # mostly absent
+        ]).astype(np.int32)
+        qk = pack_grid(jnp.asarray(queries))
+        expect = np.asarray(lookup(keys, rows, qk))
+        got = np.asarray(lookup_hash(tables, qk))
+        np.testing.assert_array_equal(got, expect)
+
     def test_neighbor_table_matches_bruteforce(self, rng):
         grid, mask = random_voxels(rng, 40, 64, extent=6)
         offsets = kernel_offsets(3)
