@@ -336,6 +336,44 @@ def bench_spunet(rng):
     return round(BATCH * N_POINTS / dt, 1)
 
 
+def bench_ptv3(rng):
+    """PT-v3 (the reference's modern flagship) forward at fragment scale;
+    serialized patch attention is natively TPU-shaped (sorted windows,
+    no kNN tables)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pointcloudpdf_tpu.models import build_model
+
+    model = build_model(dict(
+        type="DefaultSegmentor",
+        backbone=dict(type="PT-v3m1", in_channels=6),
+        criteria=[dict(type="CrossEntropyLoss", loss_weight=1.0,
+                       ignore_index=-1)],
+    ))
+    coords = rng.rand(ITERS, BATCH, N_POINTS, 3).astype(np.float32) * 5.0
+    grids = (coords / 0.02).astype(np.int32)
+    coords = jnp.asarray(coords)
+    grids = jnp.asarray(grids)
+    feats = jnp.asarray(rng.rand(ITERS, BATCH, N_POINTS, 6).astype(np.float32))
+    mask = jnp.ones((BATCH, N_POINTS), bool)
+    batch = dict(coord=coords[0], grid_coord=grids[0], feat=feats[0],
+                 mask=mask)
+    variables = jax.jit(functools.partial(model.init, train=False))(
+        {"params": jax.random.PRNGKey(0)}, batch)
+    # PTv3 ends in a 64-ch head over (B, N): project to classes externally
+    with jax.default_matmul_precision("bfloat16"):
+        def fwd(coord, grid, feat):
+            out = model.apply(
+                variables,
+                dict(coord=coord, grid_coord=grid, feat=feat, mask=mask),
+                train=False)
+            return jnp.sum(out["seg_logits"])
+
+        dt = _time_scanned(fwd, coords, grids, feats, iters=ITERS)
+    return round(BATCH * N_POINTS / dt, 1)
+
+
 def main():
     rng = np.random.RandomState(0)
     points_per_sec, extras = bench_ptv1(rng)
@@ -350,6 +388,11 @@ def main():
             np.random.RandomState(2))
     except Exception as exc:
         extras["spunet_error"] = repr(exc)[:200]
+    try:
+        extras["ptv3_inference_points_per_sec"] = bench_ptv3(
+            np.random.RandomState(3))
+    except Exception as exc:
+        extras["ptv3_error"] = repr(exc)[:200]
 
     print(json.dumps({
         "metric": "pt_v1_seg50_inference_throughput",
