@@ -55,6 +55,14 @@ def _merge_topk(best_d, best_i, cand_d, cand_i, k: int):
     return -neg_d, jnp.take_along_axis(all_i, arg, axis=-1)
 
 
+# Test/profiling hook: force one dispatch arm regardless of backend and
+# size — "auto" (default) keeps the measured dispatch; "exact" = chunked
+# brute top-k; "serial" = serialization-window; "approx" = approx_min_k.
+# Set at trace time (re-jit after changing); used by the end-to-end
+# approximation-bound tests (tests/test_approx_stack.py).
+FORCE_KNN_PATH = "auto"
+
+
 def knn(
     query: jnp.ndarray,
     ref: jnp.ndarray,
@@ -62,13 +70,17 @@ def knn(
     query_mask: Optional[jnp.ndarray] = None,
     ref_mask: Optional[jnp.ndarray] = None,
     chunk_size: int = 4096,
-    query_tile: int = 4096,
+    query_tile: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """k nearest neighbors of each query among valid ref points.
 
     Equivalent of the reference kNN CUDA kernel
     (libs/pointops/src/knn_query/knn_query_cuda_kernel.cu:60-112) minus the
     per-batch offset scan: batching is handled by vmap over padded samples.
+
+    ``query_tile=None`` (default) self-tunes per dispatch path (8192 for
+    the TPU approx path, 4096 for the lax fallback); the Pallas and
+    serialization paths tile internally and ignore it.
 
     Returns (idx (M, k) int32, dist2 (M, k) f32) sorted ascending by
     distance. Slots beyond the number of valid refs have dist2 == +inf.
@@ -94,21 +106,50 @@ def knn(
             jnp.concatenate([dist2, pad_d], axis=1),
         )
 
-    # TPU dispatch (numbers from tools/microbench_tpu.py on this v5e):
+    # TPU dispatch (numbers from tools/microbench_knn.py +
+    # tools/microbench_tpu.py on this v5e):
     # - lax.top_k lowers to a full sort (~3.7 s for a 4x32768 self-kNN);
-    # - the approx-top-k unit fused onto the MXU distance identity does
-    #   the same selection at ~16 ms/32k-sample (recall ~0.997) and wins
-    #   up to ~131k refs;
+    # - the fused Pallas kernel (ops/pallas_knn.py) keeps every distance
+    #   block in VMEM and wins 1.5-2.3x over the XLA approx path
+    #   (B=4 self-kNN k=16: 27.5 vs 40.9 ms at 8k, 52.9 vs 123.3 ms at
+    #   32k; recall 0.993-0.998 vs exact).  Its candidate buffer is
+    #   VMEM-resident (~160 bytes/ref), so Mosaic stops compiling past
+    #   N=32768, and below N=8192 the single-chunk fold sheds same-group
+    #   neighbors (recall < 0.99) while the approx path is already fast;
+    # - the approx-top-k unit fused onto the MXU distance identity
+    #   (~16 ms/32k-sample, recall ~0.997) covers the rest up to ~131k;
     # - beyond that the O(M*N) select stream dominates and the linear-
     #   cost serialization-window path (knn_serial) takes over (full-
     #   scene eval fragments run up to ~800k points).
     # Geometry consumers mask by validity, so a sub-1% neighbor swap is
     # within the padding noise.
+    if FORCE_KNN_PATH == "serial":
+        return knn_serial(query, ref, k, ref_mask)
+    if FORCE_KNN_PATH == "approx":
+        return _knn_tpu_approx(query, ref, k, ref_mask,
+                               query_tile=query_tile or 8192)
+    if FORCE_KNN_PATH == "exact":
+        query_tile = query_tile or 4096
+        if N <= chunk_size:
+            d2 = _pairwise_dist2(query, ref)
+            d2 = jnp.where(ref_mask[None, :], d2, _INF)
+            neg_d, idx = jax.lax.top_k(-d2, k)
+            return idx.astype(jnp.int32), -neg_d
+        return _knn_chunked(query, ref, k, ref_mask, chunk_size, query_tile)
     if jax.default_backend() == "tpu" and N > 131072:
         return knn_serial(query, ref, k, ref_mask)
+    if jax.default_backend() == "tpu" and 8192 <= N <= 32768 and k <= 64:
+        from .pallas_knn import knn_pallas
+
+        idx, dist2 = knn_pallas(query, ref, k, ref_mask)
+        # kNN selection is combinatorial: no gradient flows through the
+        # packed-float kernel (the CUDA reference is equally non-diff)
+        return idx, jax.lax.stop_gradient(dist2)
     if jax.default_backend() == "tpu" and N > 128:
         return _knn_tpu_approx(query, ref, k, ref_mask,
-                               query_tile=8192)
+                               query_tile=query_tile or 8192)
+
+    query_tile = query_tile or 4096
 
     if N <= chunk_size:
         d2 = _pairwise_dist2(query, ref)
@@ -116,6 +157,12 @@ def knn(
         neg_d, idx = jax.lax.top_k(-d2, k)
         return idx.astype(jnp.int32), -neg_d
 
+    return _knn_chunked(query, ref, k, ref_mask, chunk_size, query_tile)
+
+
+def _knn_chunked(query, ref, k, ref_mask, chunk_size, query_tile):
+    """Exact chunked brute force: scan ref chunks per query tile."""
+    M, N = query.shape[0], ref.shape[0]
     # pad ref to a multiple of chunk_size
     n_chunks = -(-N // chunk_size)
     pad_n = n_chunks * chunk_size - N
