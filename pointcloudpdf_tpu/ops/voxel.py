@@ -27,6 +27,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 X_BITS, Y_BITS, Z_BITS = 11, 11, 10
 
@@ -73,11 +74,22 @@ def _hash_slot(keys, salt, shift):
     return (((keys ^ salt) * _HASH_MULT) >> shift).astype(jnp.int32)
 
 
-def _hash_check(keys):
-    """Independent 16-bit verification tag in [0, 0xFFFE] (0xFFFF is the
-    empty-slot sentinel's tag)."""
-    tag = ((keys * _HASH_MULT) ^ _CHECK_SALT) >> 17
-    return (tag % jnp.uint32(0xFFFF)).astype(jnp.uint32)
+def _row_bits(n: int) -> int:
+    """Bits of a packed entry spent on the row index for an n-row
+    sample; the remaining 32 - row_bits bits hold the verification tag.
+
+    16 row bits up to 65536 rows (16-bit tag), then grows with n; the
+    1M cap keeps >= 12 tag bits (false-positive ~2^-12 per slot
+    collision — still well under the accepted approx-kNN noise)."""
+    assert n <= (1 << 20), "hash entries keep >= 12 verification bits"
+    return max(16, (n - 1).bit_length() if n > 1 else 1)
+
+
+def _hash_check(keys, tag_bits: int):
+    """Independent ``tag_bits``-bit verification tag in
+    [0, 2^tag_bits - 2] (all-ones is the empty-slot sentinel's tag)."""
+    tag = ((keys * _HASH_MULT) ^ _CHECK_SALT) >> (32 - tag_bits)
+    return (tag % jnp.uint32((1 << tag_bits) - 1)).astype(jnp.uint32)
 
 
 def build_hash_table(grid: jnp.ndarray, mask: jnp.ndarray,
@@ -88,24 +100,27 @@ def build_hash_table(grid: jnp.ndarray, mask: jnp.ndarray,
     (3^3) / 125xN (5^3) rulebook queries made ``neighbor_table`` ~85% of
     the SpUNet forward (profiled 0.7 s / 3.7 s per batch).  Scalar
     gathers run at ~10 ns, so each probe must be ONE gather: a slot
-    packs a 16-bit verification tag (an independent hash of the key)
-    with the 16-bit row, and the table is built by ``n_tables`` scatter
-    rounds — round t scatters the still-unplaced keys at ``hash_t``,
-    reading back to find colliding-write losers, which move to round
-    t+1.  At load 1/2 the unplaced fraction after 3 rounds is ~1e-4
-    (a lost key's voxel is invisible to neighbor gathers — masked, not
-    corrupt), and a lookup false-positive needs a slot collision AND a
-    tag collision (~1e-5 per probe): both are far below the approx-kNN
-    noise already accepted elsewhere.  Slot H is a dummy that absorbs
-    parked rows.
+    packs a verification tag (an independent hash of the key) with the
+    row index — the bit split adapts to n via ``_row_bits`` so large
+    collation buckets (131072/262144-point SphereCrop capacities) pack
+    too — and the table is built by ``n_tables`` scatter rounds — round
+    t scatters the still-unplaced keys at ``hash_t``, reading back to
+    find colliding-write losers, which move to round t+1.  At load 1/2
+    the unplaced fraction after 3 rounds is ~1e-4 (a lost key's voxel
+    is invisible to neighbor gathers — masked, not corrupt), and a
+    lookup false-positive needs a slot collision AND a tag collision
+    (<= ~2^-12 per probe): both are far below the approx-kNN noise
+    already accepted elsewhere.  Slot H is a dummy that absorbs parked
+    rows.
     """
     n = grid.shape[0]
-    assert n <= (1 << 16), "packed rows are 16-bit per sample"
+    rb = _row_bits(n)
     h_bits = max((load * n - 1).bit_length(), 4)
     h = 1 << h_bits
     shift = 32 - h_bits
     keys = jnp.where(mask, pack_grid(grid), _INVALID_KEY)
-    entry = (_hash_check(keys) << 16) | jnp.arange(n, dtype=jnp.uint32)
+    entry = (_hash_check(keys, 32 - rb) << rb) | jnp.arange(
+        n, dtype=jnp.uint32)
 
     tables = []
     pending = mask
@@ -120,29 +135,211 @@ def build_hash_table(grid: jnp.ndarray, mask: jnp.ndarray,
     return jnp.stack(tables)
 
 
-def lookup_hash(tables: jnp.ndarray, query_keys: jnp.ndarray
-                ) -> jnp.ndarray:
+def lookup_hash(tables: jnp.ndarray, query_keys: jnp.ndarray,
+                n_rows: Optional[int] = None) -> jnp.ndarray:
     """Row index for each query key via the scatter-built tables (-1 if
-    absent); one gather per probe."""
+    absent); one gather per probe.  ``n_rows`` is the row count the
+    table was built with (defaults to the <=65536 16-bit legacy split);
+    it must match build_hash_table's n for the tag compare to align."""
     h = tables.shape[1] - 1
     shift = 32 - (h - 1).bit_length() if h > 1 else 31
-    check = _hash_check(query_keys)
+    rb = _row_bits(n_rows) if n_rows is not None else 16
+    check = _hash_check(query_keys, 32 - rb)
     valid = query_keys != _INVALID_KEY
     res = jnp.full(query_keys.shape, -1, jnp.int32)
     for t in range(tables.shape[0]):
         salt = jnp.uint32(_HASH_SALTS[t % len(_HASH_SALTS)])
         slot = _hash_slot(query_keys, salt, shift)
         e = tables[t][slot]
-        hit = ((e >> 16) == check) & valid
+        hit = ((e >> rb) == check) & valid
         res = jnp.where((res < 0) & hit,
-                        (e & jnp.uint32(0xFFFF)).astype(jnp.int32), res)
+                        (e & jnp.uint32((1 << rb) - 1)).astype(jnp.int32),
+                        res)
     return res
 
 
-def kernel_offsets(kernel_size: int = 3) -> jnp.ndarray:
-    """(K^3, 3) int32 offsets, centered (e.g. -1..1 for k=3)."""
+def raster_sort(grid: jnp.ndarray, mask: jnp.ndarray,
+                extent: Optional[Tuple[int, int, int]] = None,
+                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-sample raster-key sort permutation (valid first).
+
+    Returns (perm (N,) int32 positions into the unsorted arrays, inv (N,)
+    where each unsorted point landed, sorted_mask (N,)).  Sorting by the
+    packed key makes the row index equal the raster *rank*, which is what
+    the dense occupancy probes (:func:`neighbor_table_dense`) and the
+    sort-free pooling (:func:`unique_parents_sorted`) return — the
+    one-time sort replaces a per-level O(N log N) with O(N) maps
+    everywhere below.
+
+    When ``extent`` is given, valid points outside it are masked off and
+    sorted last (the dense rank==row invariant tolerates no mid-array
+    holes); callers should surface the drop count.
+    """
+    n = grid.shape[0]
+    keep = mask
+    if extent is not None:
+        keep = keep & jnp.all(grid >= 0, axis=-1) & jnp.all(
+            grid < jnp.asarray(extent, grid.dtype)[None, :], axis=-1)
+    keys = jnp.where(keep, pack_grid(grid), _INVALID_KEY)
+    perm = jnp.argsort(keys).astype(jnp.int32)
+    inv = jnp.zeros((n,), jnp.int32).at[perm].set(
+        jnp.arange(n, dtype=jnp.int32))
+    return perm, inv, keep[perm]
+
+
+def unique_parents_sorted(grid: jnp.ndarray, mask: jnp.ndarray, stride: int,
+                          capacity: Optional[int] = None,
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """`unique_parents` with one argsort instead of two sorts + a
+    searchsorted sweep.
+
+    (Child raster order does NOT imply parent raster order under
+    ``// stride`` — ``x // 2`` collapses x-distinctions and lets lower
+    axes reorder — so one argsort over the parent keys is irreducible.)
+    After it, dedup is an adjacent-compare + cumsum-rank + two scatters:
+    ~10x cheaper than the sort-based form on TPU
+    (tools/microbench_voxel.py).  Parents come out raster-sorted, which
+    is the row invariant :func:`neighbor_table_dense` needs at the next
+    level; masked slots may sit anywhere in the input.
+    """
+    n = grid.shape[0]
+    cap = n if capacity is None else min(capacity, n)
+    p_grid_all = grid // stride
+    keys = jnp.where(mask, pack_grid(p_grid_all), _INVALID_KEY)
+    perm = jnp.argsort(keys).astype(jnp.int32)      # valid first, sorted
+    k_s = keys[perm]
+    m_s = mask[perm]
+    is_first = jnp.concatenate(
+        [m_s[:1], (k_s[1:] != k_s[:-1]) & m_s[1:]])
+    rank = jnp.cumsum(is_first.astype(jnp.int32)) - 1          # (N,)
+    num_parents = jnp.sum(is_first)
+    overflow = rank >= cap
+    scatter_slot = jnp.where(is_first & ~overflow, rank, cap)
+    parent_grid = jnp.zeros((cap + 1, 3), jnp.int32).at[scatter_slot].set(
+        p_grid_all[perm])[:cap]
+    parent_mask = jnp.arange(cap) < jnp.minimum(num_parents, cap)
+    parent_grid = jnp.where(parent_mask[:, None], parent_grid, 0)
+    c2p_sorted = jnp.where(m_s & ~overflow, rank, -1).astype(jnp.int32)
+    child_to_parent = jnp.zeros((n,), jnp.int32).at[perm].set(c2p_sorted)
+    return parent_grid, parent_mask, child_to_parent
+
+
+def build_occupancy(grid: jnp.ndarray, mask: jnp.ndarray,
+                    extent: Tuple[int, int, int]) -> jnp.ndarray:
+    """Dense z-column occupancy+rank array for raster-sorted points.
+
+    Returns (X, Y, W, 2) int32 where W = ceil(Z/32) + 1 (one zero guard
+    word): ``[..., 0]`` is the number of occupied cells in raster order
+    *before* this 32-cell z-word (== the row index of this word's first
+    occupied cell, because rows are raster ranks), ``[..., 1]`` the
+    occupancy bits.  One 4-int32 contiguous slice gather at
+    ``[x, y, w0]`` yields rank+bits for two adjacent words — enough to
+    resolve all dz in [-2, 2] of a (dx, dy) probe group
+    (:func:`neighbor_table_dense`).
+
+    TPU rationale: per-element random gathers run at ~10 ns on this v5e
+    while a 4-wide contiguous slice costs about the same, so collapsing
+    the 3 (dz) x 3 (hash tables) = 9 gathers of the hash formulation
+    into one slice gather per (dx, dy) group is ~9x on the dominant
+    rulebook cost (tools/microbench_voxel.py).
+    """
+    x_ext, y_ext, z_ext = extent
+    w = -(-z_ext // 32) + 1                      # + zero guard word
+    flat_words = jnp.zeros((x_ext * y_ext * w,), jnp.uint32)
+    g = grid
+    # out-of-extent points must not alias into other slots: like a
+    # hash-parked key they become invisible as neighbors (their own
+    # probes still resolve via the bounds checks in the lookup)
+    ok = (mask & jnp.all(g >= 0, axis=-1)
+          & (g[:, 0] < x_ext) & (g[:, 1] < y_ext) & (g[:, 2] < z_ext))
+    # guard duplicate cells (the GridSample contract forbids them, but a
+    # double-scattered bit would ADD into a carry and corrupt the word —
+    # skip non-first duplicates instead; adjacent compare suffices on
+    # raster-sorted input)
+    keys = pack_grid(jnp.maximum(g, 0))
+    dup = jnp.concatenate(
+        [jnp.zeros((1,), bool), (keys[1:] == keys[:-1])])
+    ok = ok & ~dup
+    word_idx = (g[:, 0] * y_ext + g[:, 1]) * w + (g[:, 2] >> 5)
+    bit = jnp.uint32(1) << (g[:, 2] & 31).astype(jnp.uint32)
+    # each valid cell is unique (GridSample dedups), so add == or
+    flat_words = flat_words.at[
+        jnp.where(ok, word_idx, x_ext * y_ext * w)
+    ].add(jnp.where(ok, bit, 0), mode="drop")
+    counts = jax.lax.population_count(flat_words)
+    rank = jnp.cumsum(counts) - counts           # exclusive prefix
+    return jnp.stack(
+        [rank.astype(jnp.int32),
+         flat_words.astype(jnp.int32)], axis=-1
+    ).reshape(x_ext, y_ext, w, 2)
+
+
+def neighbor_table_dense(grid: jnp.ndarray, mask: jnp.ndarray,
+                         offsets: jnp.ndarray,
+                         extent: Tuple[int, int, int]) -> jnp.ndarray:
+    """(N, K) neighbor rows via the dense occupancy array, -1 if absent.
+
+    Drop-in for :func:`neighbor_table` when (a) the per-sample grid
+    extent is statically bounded by ``extent`` and (b) rows are raster
+    ranks (points sorted by :func:`raster_sort`).  Offsets are grouped
+    by (dx, dy): each group costs ONE 4-int32 slice gather per point and
+    serves every dz in [-2, 2] — 9 gathers/point for a 3^3 kernel and 25
+    for 5^3, vs 27x3 / 125x3 single gathers through the hash tables.
+    """
+    x_ext, y_ext, z_ext = extent
+    w = -(-z_ext // 32) + 1
+    occ = build_occupancy(grid, mask, extent).reshape(-1)   # (X*Y*W*2,)
+    n, k = grid.shape[0], offsets.shape[0]
+    off_np = np.asarray(offsets)
+    groups: dict = {}
+    for ki in range(k):
+        dx, dy, dz = (int(off_np[ki, 0]), int(off_np[ki, 1]),
+                      int(off_np[ki, 2]))
+        assert -2 <= dz <= 2, "dense probes resolve dz in [-2, 2]"
+        groups.setdefault((dx, dy), []).append((dz, ki))
+
+    cols = jnp.full((n, k), -1, jnp.int32)
+    x, y, z = grid[:, 0], grid[:, 1], grid[:, 2]
+    for (dx, dy), members in groups.items():
+        qx, qy = x + dx, y + dy
+        xy_ok = (qx >= 0) & (qx < x_ext) & (qy >= 0) & (qy < y_ext)
+        dz_min = min(dz for dz, _ in members)
+        w0 = jnp.clip((z + dz_min) >> 5, 0, w - 2)
+        base = (((jnp.clip(qx, 0, x_ext - 1) * y_ext
+                  + jnp.clip(qy, 0, y_ext - 1)) * w + w0) * 2)
+        slab = jax.lax.gather(
+            occ, base[:, None],
+            jax.lax.GatherDimensionNumbers(
+                offset_dims=(1,), collapsed_slice_dims=(),
+                start_index_map=(0,)),
+            slice_sizes=(4,), mode="clip")                   # (N, 4)
+        rank0, word0 = slab[:, 0], slab[:, 1].astype(jnp.uint32)
+        rank1, word1 = slab[:, 2], slab[:, 3].astype(jnp.uint32)
+        for dz, ki in members:
+            qz = z + dz
+            wsel = (qz >> 5) - w0
+            z_ok = (qz >= 0) & (qz < z_ext) & (wsel >= 0) & (wsel <= 1)
+            in1 = wsel == 1
+            word = jnp.where(in1, word1, word0)
+            rank = jnp.where(in1, rank1, rank0)
+            bit = (qz & 31).astype(jnp.uint32)
+            hit = ((word >> bit) & 1).astype(bool) & xy_ok & z_ok & mask
+            below = jax.lax.population_count(
+                word & ((jnp.uint32(1) << bit) - 1)).astype(jnp.int32)
+            cols = cols.at[:, ki].set(
+                jnp.where(hit, rank + below, -1))
+    return cols
+
+
+def kernel_offsets(kernel_size: int = 3) -> np.ndarray:
+    """(K^3, 3) int32 offsets, centered (e.g. -1..1 for k=3).
+
+    Returned as a host numpy array: jnp consumers convert transparently,
+    while :func:`neighbor_table_dense` needs concrete values for its
+    trace-time (dx, dy) probe grouping even when the caller is inside a
+    jit trace (where a jnp constant would be a tracer)."""
     r = range(-(kernel_size // 2), kernel_size // 2 + 1)
-    return jnp.asarray(list(itertools.product(r, r, r)), jnp.int32)
+    return np.asarray(list(itertools.product(r, r, r)), np.int32)
 
 
 def neighbor_table(grid: jnp.ndarray, mask: jnp.ndarray,
@@ -155,14 +352,14 @@ def neighbor_table(grid: jnp.ndarray, mask: jnp.ndarray,
     which at 27xN..125xN rulebook queries dominated the whole SpUNet
     forward.
     """
-    tables = build_hash_table(grid, mask)
     n, k = grid.shape[0], offsets.shape[0]
+    tables = build_hash_table(grid, mask)
     q_grid = grid[:, None, :] + offsets[None, :, :]          # (N, K, 3)
     in_bounds = jnp.all(q_grid >= 0, axis=-1)
     q_keys = jnp.where(
         in_bounds & mask[:, None],
         pack_grid(jnp.maximum(q_grid, 0)), _INVALID_KEY).reshape(-1)
-    nbr = lookup_hash(tables, q_keys).reshape(n, k)
+    nbr = lookup_hash(tables, q_keys, n_rows=n).reshape(n, k)
     valid = mask[:, None] & in_bounds
     return jnp.where(valid, nbr, -1)
 
