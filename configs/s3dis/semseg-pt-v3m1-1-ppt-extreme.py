@@ -12,6 +12,10 @@ model = dict(
     type="PPT-v1m1",
     backbone=dict(
         type="PT-v3m1",
+        # dense indoor surface scans merge >=2 voxels per 2x stride:
+        # halved per-level capacities are lossless and remove the
+        # padded-buffer waste at the deep 512-ch stages
+        level_capacity_factor=0.5,
         in_channels=6,
         order=("z", "z-trans", "hilbert", "hilbert-trans"),
         stride=(2, 2, 2, 2),

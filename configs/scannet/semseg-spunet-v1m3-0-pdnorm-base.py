@@ -5,6 +5,9 @@ _base_ = ["./semseg-spunet-v1m1-0-base.py"]
 model = dict(
     backbone=dict(
         type="SpUNet-v1m3",
+        # dense indoor surface scans merge >=2 voxels per 2x stride:
+        # halved per-level capacities are safe and ~1.4x faster here
+        level_capacity_factor=0.5,
         conditions=("ScanNet", "S3DIS", "Structured3D"),
         zero_init=False,
         norm_decouple=True,

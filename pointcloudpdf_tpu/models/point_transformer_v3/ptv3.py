@@ -39,7 +39,10 @@ from ...ops.voxel import (
     flatten_slot_map,
     kernel_offsets,
     neighbor_table,
+    neighbor_table_dense,
+    raster_sort,
     unique_parents,
+    unique_parents_sorted,
 )
 from ..builder import MODELS
 from ..norm import MaskedBatchNorm, PDLayerNorm
@@ -267,6 +270,24 @@ class PointTransformerV3(nn.Module):
     pdnorm_adaptive: bool = False
     pdnorm_affine: bool = True
     pdnorm_conditions: Sequence[str] = ()
+    # per-level static capacity: factor < 1 shrinks each stage's padded
+    # buffer after stride-2 grid pooling.  Dense indoor surface scans
+    # merge >=2 voxels per parent, so 0.5 is safe there and removes the
+    # dominant waste (stage-5's 512-ch attention+MLP otherwise runs on a
+    # buffer 16x its valid points).  Default 1.0 never drops — sparse
+    # outdoor LiDAR can keep >N/2 unique parents; any capacity overflow
+    # is surfaced via sow("diagnostics", "capacity_dropped_points").
+    level_capacity_factor: float = 1.0
+    min_level_capacity: int = 128
+    # static per-sample grid extent (X, Y, Z).  When set, the backbone
+    # raster-sorts each sample once and every level switches to the
+    # dense-occupancy rulebook (ops/voxel.neighbor_table_dense: one
+    # 4-int32 slice gather per (dx, dy) probe group) and the sort-free
+    # unique_parents_sorted — together removing the per-level hash
+    # builds and sorts that dominated the forward
+    # (tools/profile_ptv3.py, tools/microbench_voxel.py).  None keeps
+    # the extent-free hash path.
+    dense_extent: Optional[Sequence[int]] = None
 
     @nn.compact
     def __call__(self, input_dict: Dict, train: bool = True,
@@ -303,10 +324,38 @@ class PointTransformerV3(nn.Module):
         mask = input_dict["mask"]
         b, n = mask.shape
 
+        inv_perm = None
+        if self.dense_extent is not None:
+            # raster-sort once: rows become raster ranks, enabling the
+            # dense-occupancy rulebook + sort-free pooling at every level
+            ext0 = tuple(int(x) for x in self.dense_extent)
+            perm, inv_perm, sorted_mask = jax.vmap(
+                lambda g, m: raster_sort(g, m, ext0))(grid, mask)
+            grid = jnp.take_along_axis(grid, perm[..., None], axis=1)
+            feat = jnp.take_along_axis(feat, perm[..., None], axis=1)
+            # points outside the configured extent are dropped (visibly)
+            self.sow("diagnostics", "dense_extent_dropped_points",
+                     jnp.sum(mask) - jnp.sum(sorted_mask))
+            mask = sorted_mask
+
+        def level_extent(s):
+            e = tuple(int(x) for x in self.dense_extent)
+            return tuple(-(-x // (2 ** s)) for x in e)
+
+        def make_nbr(g, m, offsets, s):
+            if self.dense_extent is None:
+                return jax.vmap(
+                    lambda gg, mm: neighbor_table(gg, mm, offsets))(g, m)
+            ext = level_extent(s)
+            return jax.vmap(
+                lambda gg, mm: neighbor_table_dense(gg, mm, offsets, ext)
+            )(g, m)
+
+        pool_fn = (unique_parents_sorted if self.dense_extent is not None
+                   else unique_parents)
+
         # stem embedding: SubMConv k5 + BN + relu (reference Embedding)
-        nbr5 = flatten_neighbor_rows(
-            jax.vmap(lambda g, m: neighbor_table(g, m, off5))(grid, mask)
-        )
+        nbr5 = flatten_neighbor_rows(make_nbr(grid, mask, off5, 0))
         flat_mask = mask.reshape(b * n)
         y = SubMConv(self.in_channels, self.enc_channels[0], off5.shape[0],
                      name="embedding")(feat.reshape(b * n, -1), nbr5)
@@ -325,22 +374,35 @@ class PointTransformerV3(nn.Module):
         level = dict(grid=grid, mask=mask)
         for s in range(num_stages):
             if s > 0:
-                # serialized (grid) pooling, stride 2
+                # serialized (grid) pooling, stride 2, into a (possibly
+                # shrunk) static parent capacity
+                child_n = level["grid"].shape[1]
+                cap = child_n
+                if self.level_capacity_factor < 1.0:
+                    cap = max(self.min_level_capacity,
+                              int(child_n * self.level_capacity_factor))
+                    cap = min(-(-cap // 8) * 8, child_n)  # sublane align
                 p_grid, p_mask, c2p = jax.vmap(
-                    lambda g, m: unique_parents(g, m, 2)
+                    lambda g, m: pool_fn(g, m, 2, capacity=cap)
                 )(level["grid"], level["mask"])
                 proj = nn.Dense(self.enc_channels[s], kernel_init=_trunc02,
                                 name=f"pool{s}_proj")(feat)
-                flat_c2p = flatten_slot_map(c2p)
-                flat_proj = proj.reshape(b * n, -1)
+                flat_c2p = flatten_slot_map(c2p, slot_count=cap)
+                flat_proj = proj.reshape(b * child_n, -1)
                 valid = (flat_c2p >= 0)[:, None]
+                if cap < child_n:
+                    # children of capacity-overflow parents map to -1;
+                    # surface any drop instead of silently losing voxels
+                    child_valid = level["mask"].reshape(b * child_n)
+                    self.sow("diagnostics", "capacity_dropped_points",
+                             jnp.sum(child_valid & ~valid[:, 0]))
                 pooled = jnp.full(
-                    (b * n, self.enc_channels[s]), -jnp.inf, jnp.float32
+                    (b * cap, self.enc_channels[s]), -jnp.inf, jnp.float32
                 ).at[jnp.maximum(flat_c2p, 0)].max(
                     jnp.where(valid, flat_proj.astype(jnp.float32), -jnp.inf)
                 )
                 pooled = jnp.where(jnp.isfinite(pooled), pooled, 0.0)
-                flat_p_mask = p_mask.reshape(b * n)
+                flat_p_mask = p_mask.reshape(b * cap)
                 pooled = bn(self.enc_channels[s], name=f"pool{s}_bn")(
                     pooled.astype(feat.dtype), flat_p_mask, train, ctx
                 )
@@ -349,12 +411,10 @@ class PointTransformerV3(nn.Module):
                 level = dict(grid=p_grid, mask=p_mask)
                 feat = jnp.where(
                     flat_p_mask[:, None], pooled, 0.0
-                ).reshape(b, n, -1)
+                ).reshape(b, cap, -1)
 
             g, m = level["grid"], level["mask"]
-            stage_nbr = flatten_neighbor_rows(
-                jax.vmap(lambda gg, mm: neighbor_table(gg, mm, off3))(g, m)
-            )
+            stage_nbr = flatten_neighbor_rows(make_nbr(g, m, off3, s))
             perms, invs = _sort_orders(g, m, orders)
             base = sum(self.enc_depths[:s])
             for i in range(self.enc_depths[s]):
@@ -366,7 +426,11 @@ class PointTransformerV3(nn.Module):
                     ln, name=f"enc{s}_block{i}",
                 )(feat, stage_nbr, perms[oi], invs[oi], m, train, grid=g,
                   context=ctx)
-            skips.append((feat, dict(level)))
+            # the decoder revisits the same levels: reuse the neighbor
+            # table and sort orders instead of rebuilding (the hash
+            # build+probe dominates the whole forward — see
+            # tools/profile_ptv3.py)
+            skips.append((feat, dict(level), stage_nbr, perms, invs))
 
         if not self.cls_mode:
             dec_channels = list(self.dec_channels) + [self.enc_channels[-1]]
@@ -374,37 +438,34 @@ class PointTransformerV3(nn.Module):
             dec_dp = [
                 self.drop_path * i / max(total_d - 1, 1) for i in range(total_d)
             ]
-            feat, level = skips[-1]
+            feat, level = skips[-1][:2]
             for s in reversed(range(num_stages - 1)):
-                skip_feat, skip_level = skips[s]
+                skip_feat, skip_level, skip_nbr, perms, invs = skips[s]
                 c2p = pools[s]["c2p"]
+                parent_n = level["grid"].shape[1]
+                child_n = skip_level["grid"].shape[1]
                 # unpooling: proj both sides, parent feat broadcast to children
                 y = nn.Dense(dec_channels[s], kernel_init=_trunc02,
                              name=f"unpool{s}_proj")(feat)
                 y = bn(dec_channels[s], name=f"unpool{s}_bn")(
-                    y.reshape(b * n, -1), level["mask"].reshape(b * n),
-                    train, ctx
+                    y.reshape(b * parent_n, -1),
+                    level["mask"].reshape(b * parent_n), train, ctx
                 )
-                y = nn.relu(y).reshape(b, n, -1)
+                y = nn.relu(y)
                 sk = nn.Dense(dec_channels[s], kernel_init=_trunc02,
                               name=f"unpool{s}_skip")(skip_feat)
                 sk = bn(dec_channels[s], name=f"unpool{s}_skip_bn")(
-                    sk.reshape(b * n, -1),
-                    skip_level["mask"].reshape(b * n), train, ctx,
+                    sk.reshape(b * child_n, -1),
+                    skip_level["mask"].reshape(b * child_n), train, ctx,
                 )
-                sk = nn.relu(sk).reshape(b, n, -1)
-                flat_c2p = flatten_slot_map(c2p)
-                up = y.reshape(b * n, -1)[jnp.maximum(flat_c2p, 0)]
+                sk = nn.relu(sk).reshape(b, child_n, -1)
+                flat_c2p = flatten_slot_map(c2p, slot_count=parent_n)
+                up = y.reshape(b * parent_n, -1)[jnp.maximum(flat_c2p, 0)]
                 up = jnp.where((flat_c2p >= 0)[:, None], up, 0.0)
-                feat = sk + up.reshape(b, n, -1)
+                feat = sk + up.reshape(b, child_n, -1)
                 level = skip_level
                 g, m = level["grid"], level["mask"]
-                stage_nbr = flatten_neighbor_rows(
-                    jax.vmap(
-                        lambda gg, mm: neighbor_table(gg, mm, off3)
-                    )(g, m)
-                )
-                perms, invs = _sort_orders(g, m, orders)
+                stage_nbr = skip_nbr
                 base = sum(self.dec_depths[:s])
                 for i in range(self.dec_depths[s]):
                     oi = i % len(orders)
@@ -415,7 +476,10 @@ class PointTransformerV3(nn.Module):
                         ln, name=f"dec{s}_block{i}",
                     )(feat, stage_nbr, perms[oi], invs[oi], m, train, grid=g,
                       context=ctx)
-            return jnp.where(level["mask"][..., None], feat, 0.0)
+            out = jnp.where(level["mask"][..., None], feat, 0.0)
+            if inv_perm is not None:
+                out = jnp.take_along_axis(out, inv_perm[..., None], axis=1)
+            return out
 
         # cls mode: features at the coarsest level; caller pools
         from ..utils.structure import masked_mean

@@ -36,7 +36,10 @@ from ...ops.voxel import (
     gather_conv,
     kernel_offsets,
     neighbor_table,
+    neighbor_table_dense,
+    raster_sort,
     unique_parents,
+    unique_parents_sorted,
 )
 from ..builder import MODELS
 from ..norm import MaskedBatchNorm, PDMaskedBatchNorm
@@ -224,12 +227,24 @@ class SpUNet(nn.Module):
     norm_affine: bool = True
     context_channels: int = 256
     zero_init: bool = True
-    # per-level voxel capacity: each 2x stride halves the static buffer
-    # (a 2x stride merges >=2 surface voxels per parent in practice, so
-    # N/2^s is conservative; unique_parents drops + flags any overflow).
-    # 1.0 restores the old full-capacity-at-every-level behavior.
-    level_capacity_factor: float = 0.5
+    # per-level voxel capacity: factor < 1 shrinks the static buffer at
+    # each 2x stride (dense indoor surface scans merge >=2 voxels per
+    # parent, so 0.5 is safe there and ~1.4x faster — set it in those
+    # configs).  The default 1.0 never drops: sparse outdoor LiDAR
+    # (nuScenes/SemanticKITTI) can keep >N/2 unique parents, where a
+    # shrunk capacity would silently map overflow children to -1.  Any
+    # drop is surfaced via sow("diagnostics", "capacity_dropped_points")
+    # and tested in tests/test_sparse_unet.py.
+    level_capacity_factor: float = 1.0
     min_level_capacity: int = 128
+    # static per-sample grid extent (X, Y, Z).  When set, samples are
+    # raster-sorted once and every level switches to the dense-occupancy
+    # rulebook (ops/voxel.neighbor_table_dense) + the sort-free
+    # unique_parents_sorted — removing the per-level hash builds and
+    # sorts that dominate the forward (tools/microbench_voxel.py).
+    # None keeps the extent-free hash path (outdoor LiDAR extents are
+    # too large to allocate densely).
+    dense_extent: Optional[Sequence[int]] = None
 
     @nn.compact
     def __call__(self, input_dict: Dict, train: bool = True,
@@ -253,11 +268,37 @@ class SpUNet(nn.Module):
         mask = input_dict["mask"]                           # (B, N)
         b, n = mask.shape
 
+        inv_perm = None
+        if self.dense_extent is not None:
+            ext0 = tuple(int(x) for x in self.dense_extent)
+            perm, inv_perm, sorted_mask = jax.vmap(
+                lambda g, m: raster_sort(g, m, ext0))(grid, mask)
+            grid = jnp.take_along_axis(grid, perm[..., None], axis=1)
+            feat = jnp.take_along_axis(feat, perm[..., None], axis=1)
+            # points outside the configured extent are dropped (visibly)
+            self.sow("diagnostics", "dense_extent_dropped_points",
+                     jnp.sum(mask) - jnp.sum(sorted_mask))
+            mask = sorted_mask
+
+        def level_extent(s):
+            e = tuple(int(x) for x in self.dense_extent)
+            return tuple(-(-x // (2 ** s)) for x in e)
+
+        def make_nbr(g, m, offsets, s):
+            if self.dense_extent is None:
+                return jax.vmap(
+                    lambda gg, mm: neighbor_table(gg, mm, offsets))(g, m)
+            ext = level_extent(s)
+            return jax.vmap(
+                lambda gg, mm: neighbor_table_dense(gg, mm, offsets, ext)
+            )(g, m)
+
+        pool_fn = (unique_parents_sorted if self.dense_extent is not None
+                   else unique_parents)
+
         off5 = kernel_offsets(5)
         off3 = kernel_offsets(3)
-        nbr5 = _flatten_nbr(
-            jax.vmap(lambda g, m: neighbor_table(g, m, off5))(grid, mask)
-        )
+        nbr5 = _flatten_nbr(make_nbr(grid, mask, off5, 0))
         flat_feat = feat.reshape(b * n, -1)
         flat_mask = mask.reshape(b * n)
 
@@ -269,11 +310,7 @@ class SpUNet(nn.Module):
 
         # encoder: per level keep (feat, grid, mask, nbr) + down maps
         level_grid, level_mask = grid, mask
-        nbr3 = _flatten_nbr(
-            jax.vmap(lambda g, m: neighbor_table(g, m, off3))(
-                level_grid, level_mask
-            )
-        )
+        nbr3 = _flatten_nbr(make_nbr(level_grid, level_mask, off3, 0))
         skips = [(y, flat_mask, nbr3)]
         down_maps = []  # (c2p_flat, pos, valid, child_mask_flat)
         enc_channels = self.base_channels
@@ -290,10 +327,16 @@ class SpUNet(nn.Module):
                 + (level_grid[..., 2] % 2)
             ).reshape(b * n_child)
             p_grid, p_mask, c2p = jax.vmap(
-                lambda g, m: unique_parents(g, m, 2, capacity=level_n)
+                lambda g, m: pool_fn(g, m, 2, capacity=level_n)
             )(level_grid, level_mask)
             c2p_flat = _flatten_map(c2p, level_n)
             valid = c2p_flat >= 0
+            if self.level_capacity_factor < 1.0:
+                # children of capacity-overflow parents map to -1; make
+                # any drop visible instead of silently losing voxels
+                child_valid = level_mask.reshape(b * n_child)
+                self.sow("diagnostics", "capacity_dropped_points",
+                         jnp.sum(child_valid & ~valid))
             flat_p_mask = p_mask.reshape(b * level_n)
             y = SparseDownConv(y.shape[-1], self.channels[s],
                                name=f"down{s}")(
@@ -308,10 +351,7 @@ class SpUNet(nn.Module):
 
             level_grid, level_mask = p_grid, p_mask
             nbr3 = _flatten_nbr(
-                jax.vmap(lambda g, m: neighbor_table(g, m, off3))(
-                    level_grid, level_mask
-                )
-            )
+                make_nbr(level_grid, level_mask, off3, s + 1))
             for i in range(self.layers[s]):
                 y = block_cls(
                     y.shape[-1], self.channels[s], norm=bn,
@@ -356,7 +396,10 @@ class SpUNet(nn.Module):
             )
             return y
         y = jnp.where(out_mask[:, None], y, 0.0)
-        return y.reshape(b, n, -1)
+        y = y.reshape(b, n, -1)
+        if inv_perm is not None:
+            y = jnp.take_along_axis(y, inv_perm[..., None], axis=1)
+        return y
 
 
 @MODELS.register_module("SpUNet-v1m2")

@@ -75,7 +75,7 @@ def trilinear_devoxelize(point_grid, point_mask, level_grid, level_mask,
     for corner in itertools.product((0, 1), repeat=3):
         delta = jnp.asarray(corner, jnp.int32)
         q = cell + delta
-        r = lookup_hash(tables, pack_grid(q))
+        r = lookup_hash(tables, pack_grid(q), n_rows=level_grid.shape[0])
         w = jnp.prod(jnp.where(delta == 1, frac, 1.0 - frac), axis=-1)
         w = jnp.where((r >= 0) & point_mask, w, 0.0)
         g = level_feat[jnp.maximum(r, 0)]

@@ -149,6 +149,86 @@ class TestPTv3:
         assert sum(float(jnp.sum(jnp.abs(g))) for g in leaves) > 0
 
 
+class TestPTv3Capacity:
+    """Per-level capacity shrink (the r3 fix for PT-v3's 10x slowdown:
+    full-capacity deep stages ran 512-ch attention on buffers 16x their
+    valid points).  On dense surface sheets (the indoor regime) a 0.5
+    factor is lossless; on sparse random clouds drops must surface via
+    the diagnostics sow, never silently."""
+
+    def tiny_cfg(self, factor):
+        return dict(
+            type="PT-v3m1",
+            in_channels=6,
+            order=("z", "hilbert"),
+            stride=(2, 2),
+            enc_depths=(1, 1, 1),
+            enc_channels=(8, 16, 16),
+            enc_num_head=(2, 2, 2),
+            enc_patch_size=(16, 16, 16),
+            dec_depths=(1, 1),
+            dec_channels=(8, 16),
+            dec_num_head=(2, 2),
+            dec_patch_size=(16, 16),
+            drop_path=0.0,
+            level_capacity_factor=factor,
+            min_level_capacity=8,
+        )
+
+    def sheet_batch(self, rng, B=2, N=96):
+        # dense height-field sheet: a 12x8 xy patch fully occupied, z
+        # flat-ish -> every stride-2 parent holds >=2 children
+        xs, ys = np.meshgrid(np.arange(12), np.arange(8), indexing="ij")
+        grid = np.stack([xs, ys, (xs + ys) % 2], -1).reshape(1, 96, 3)
+        grid = np.repeat(grid, B, axis=0).astype(np.int32)
+        return dict(
+            coord=jnp.asarray(grid.astype(np.float32) * 0.05),
+            grid_coord=jnp.asarray(grid),
+            feat=jnp.asarray(rng.rand(B, N, 6).astype(np.float32)),
+            mask=jnp.ones((B, N), bool),
+        )
+
+    def test_shrunk_matches_full_on_sheets(self, rng):
+        batch = self.sheet_batch(rng)
+        full = build_model(self.tiny_cfg(1.0))
+        half = build_model(self.tiny_cfg(0.5))
+        # param shapes are capacity-independent: share one init
+        variables = jit_init(full, {"params": jax.random.PRNGKey(0)}, batch,
+                             train=False)
+        out_full = jit_apply(full, variables, batch, train=False)
+        out_half, diag = half.apply(
+            variables, batch, train=False, mutable=["diagnostics"])
+        np.testing.assert_allclose(
+            np.asarray(out_full), np.asarray(out_half), atol=1e-5)
+        dropped = sum(
+            int(np.asarray(v).sum())
+            for v in jax.tree_util.tree_leaves(diag["diagnostics"]))
+        assert dropped == 0
+
+    def test_sparse_overflow_is_surfaced(self, rng):
+        # random sparse cloud: stride-2 parents ~= children, so a 0.5
+        # capacity must drop AND report it (ADVICE r2 medium: silent
+        # voxel loss is the failure mode)
+        N = 96
+        grid = rng.randint(0, 40, (2, N, 3)).astype(np.int32)
+        batch = dict(
+            coord=jnp.asarray(grid.astype(np.float32) * 0.05),
+            grid_coord=jnp.asarray(grid),
+            feat=jnp.asarray(rng.rand(2, N, 6).astype(np.float32)),
+            mask=jnp.ones((2, N), bool),
+        )
+        half = build_model(self.tiny_cfg(0.5))
+        variables = jit_init(half, {"params": jax.random.PRNGKey(0)}, batch,
+                             train=False)
+        out, diag = half.apply(
+            variables, batch, train=False, mutable=["diagnostics"])
+        assert np.isfinite(np.asarray(out)).all()
+        dropped = sum(
+            int(np.asarray(v).sum())
+            for v in jax.tree_util.tree_leaves(diag["diagnostics"]))
+        assert dropped > 0
+
+
 class TestPTv3PDNorm:
     def test_pdnorm_bn_ln_conditions(self):
         import functools

@@ -64,6 +64,40 @@ class TestVoxelOps:
         got = np.asarray(lookup_hash(tables, qk))
         np.testing.assert_array_equal(got, expect)
 
+    def test_hash_table_large_capacity(self, rng):
+        """Collation buckets reach 131072 slots (SphereCrop point_max
+        102400 on ScanNet/nuScenes configs); the packed entry's row
+        field must widen past 16 bits — a regression here was a
+        trace-time assert (ADVICE r2, high)."""
+        from pointcloudpdf_tpu.ops.voxel import (
+            build_hash_table, lookup_hash, pack_grid)
+
+        cap = 131072
+        raw = rng.randint(0, 500, (cap + 20000, 3))
+        uniq = np.unique(raw, axis=0)
+        n_valid = min(len(uniq), cap - 1000)
+        grid = np.zeros((cap, 3), np.int32)
+        grid[:n_valid] = uniq[:n_valid]
+        mask = np.zeros(cap, bool)
+        mask[:n_valid] = True
+        grid, mask = jnp.asarray(grid), jnp.asarray(mask)
+
+        keys, rows = build_table(grid, mask)
+        tables = build_hash_table(grid, mask)
+        pick = rng.choice(n_valid, 3000, replace=False)
+        queries = np.concatenate([
+            np.asarray(grid)[pick],
+            rng.randint(500, 700, (500, 3)),           # absent
+        ]).astype(np.int32)
+        qk = pack_grid(jnp.asarray(queries))
+        expect = np.asarray(lookup(keys, rows, qk))
+        got = np.asarray(lookup_hash(tables, qk, n_rows=cap))
+        # the scatter build may park ~1e-4 of keys (documented): a miss
+        # surfaces as -1, never as a wrong row
+        agree = got == expect
+        assert agree.mean() >= 0.999
+        assert (got[~agree] == -1).all()
+
     def test_neighbor_table_matches_bruteforce(self, rng):
         grid, mask = random_voxels(rng, 40, 64, extent=6)
         offsets = kernel_offsets(3)
