@@ -104,10 +104,15 @@ class KPConvBlock(nn.Module):
         )(coord, mask)
         nmask = nmask & mask[..., None]
         rel = jax.vmap(lambda c, i: c[i])(coord, idx) - coord[:, :, None, :]
-        # linear correlation to each kernel point (KPConv paper eq. 2)
-        dist = jnp.linalg.norm(
-            rel[:, :, :, None, :] - kp[None, None, None, :, :], axis=-1
-        )
+        # linear correlation to each kernel point (KPConv paper eq. 2);
+        # |rel - kp|^2 via the matmul identity: the explicit difference
+        # tensor is (B, N, S, P, 3) whose minor (P, 3) pair tiles to
+        # (16, 128) — a 42x padding blowup — while the cross term is one
+        # MXU matmul and the intermediate stays (B, N, S, P)
+        d2 = (jnp.sum(rel * rel, axis=-1)[..., None]
+              + jnp.sum(kp * kp, axis=-1)
+              - 2.0 * jnp.einsum("bnsx,px->bnsp", rel, kp))
+        dist = jnp.sqrt(jnp.maximum(d2, 0.0))
         infl = jnp.maximum(1.0 - dist / (self.sigma * radius), 0.0)
         infl = jnp.where(nmask[..., None], infl, 0.0)      # (B, N, S, P)
         gathered = jax.vmap(lambda f, i: f[i])(x, idx)     # (B, N, S, Cm)
@@ -141,7 +146,19 @@ class KPConvBlock(nn.Module):
 
 class StratifiedWindowAttention(nn.Module):
     """Dense masked MHA over the stratified fixed-K key set with cRPE
-    (reference WindowAttention :185-351)."""
+    (reference WindowAttention :185-351).
+
+    TPU memory layout: every per-key tensor keeps the merged channel dim
+    (C = H * hd) as its minor axis.  A (..., H, hd) = (..., 6, 16) minor
+    pair tiles to (8, 128) — a 10.7x padding blowup that OOMed the
+    ScanNet configuration at fragment scale (24 GB for 2.3 GB of data) —
+    while (..., C=96) pads only to 128 (1.33x).  Per-head contractions
+    are elementwise products followed by a reshape-reduce over hd, which
+    XLA fuses into the gather consumers.  Queries stream through
+    ``lax.map`` chunks so peak HBM temp is bounded by ``query_chunk``
+    regardless of fragment size (the reference bounds the same memory by
+    its variable-length index-pair lists, stratified_transformer_v1m1_
+    origin.py:46-94)."""
 
     dim: int
     num_heads: int
@@ -151,69 +168,95 @@ class StratifiedWindowAttention(nn.Module):
     rel_key: bool = True
     rel_value: bool = True
     qkv_bias: bool = True
+    query_chunk: int = 4096
 
     @nn.compact
     def __call__(self, feat, coord, key_idx, key_mask, mask, train: bool):
         b, n, _ = feat.shape
         h = self.num_heads
         hd = self.dim // h
+        c = self.dim
         scale = hd ** -0.5
         L = int((2 * self.window_size + 1e-4) // self.quant_size)
 
         qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, name="qkv")(feat)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q.reshape(b, n, h, hd)
-        k = k.reshape(b, n, h, hd)
-        v = v.reshape(b, n, h, hd)
+        q, k, v = jnp.split(qkv, 3, axis=-1)                 # (B, N, C)
 
-        k_g = jax.vmap(lambda f, i: f[i])(k, key_idx)       # (B, N, K, H, hd)
-        v_g = jax.vmap(lambda f, i: f[i])(v, key_idx)
-        pos_g = jax.vmap(lambda c, i: c[i])(coord, key_idx)  # (B, N, K, 3)
+        # cRPE tables keep the reference parameter shape (2L, H, hd, 3);
+        # contractions use the (3, 2L, C) merged view
+        def table(name):
+            t = self.param(name, _trunc02, (2 * L, h, hd, 3))
+            return t.transpose(3, 0, 1, 2).reshape(3, 2 * L, c)
 
-        logits = jnp.einsum(
-            "bnhd,bnkhd->bnkh", q.astype(jnp.float32) * scale,
-            k_g.astype(jnp.float32),
-        )
+        tq = table("rel_query_table") if self.rel_query else None
+        tk = table("rel_key_table") if self.rel_key else None
+        tv = table("rel_value_table") if self.rel_value else None
 
-        # quantized relative-position bins per axis (reference :283-296)
-        rel = coord[:, :, None, :] - pos_g                  # (B, N, K, 3)
-        bins = jnp.floor(
-            (rel + 2 * self.window_size - 1e-4) / self.quant_size
-        ).astype(jnp.int32)
-        bins = jnp.clip(bins, 0, 2 * L - 1)                 # (B, N, K, 3)
+        def head_sum(x):
+            """(B, M, K, C) -> (B, M, K, H): per-head reduce over hd."""
+            s = x.shape
+            return x.reshape(*s[:-1], h, hd).sum(-1)
 
-        if self.rel_query:
-            tq = self.param("rel_query_table", _trunc02, (2 * L, h, hd, 3))
-            # bias = sum_axis q . t_q[bin_axis]
-            tq_g = tq[bins]                                 # (B,N,K,3,H,hd,3)?
-            # index per axis: gather each axis's table column
-            bias_q = sum(
-                jnp.einsum("bnhd,bnkhd->bnkh", q, tq[bins[..., a], :, :, a])
-                for a in range(3)
-            )
-            logits = logits + bias_q.astype(jnp.float32)
-        if self.rel_key:
-            tk = self.param("rel_key_table", _trunc02, (2 * L, h, hd, 3))
-            bias_k = sum(
-                jnp.einsum("bnkhd,bnkhd->bnkh", k_g,
-                           tk[bins[..., a], :, :, a])
-                for a in range(3)
-            )
-            logits = logits + bias_k.astype(jnp.float32)
+        def chunk_fn(args):
+            q_c, coord_c, ki_c, km_c, m_c = args
+            m = q_c.shape[1]
+            k_g = jax.vmap(lambda f, i: f[i])(k, ki_c)       # (B, M, K, C)
+            v_g = jax.vmap(lambda f, i: f[i])(v, ki_c)
+            pos_g = jax.vmap(lambda cc, i: cc[i])(coord, ki_c)  # (B, M, K, 3)
 
-        att_mask = key_mask & mask[..., None]
-        attn = masked_softmax(
-            logits, att_mask[..., None], axis=2
-        )                                                   # (B, N, K, H)
+            qf = q_c.astype(jnp.float32)
+            logits = head_sum(qf[:, :, None, :] * scale
+                              * k_g.astype(jnp.float32))     # (B, M, K, H)
 
-        if self.rel_value:
-            tv = self.param("rel_value_table", _trunc02, (2 * L, h, hd, 3))
-            v_g = v_g + sum(
-                tv[bins[..., a], :, :, a] for a in range(3)
-            ).astype(v_g.dtype)
+            # quantized relative-position bins per axis (reference :283-296)
+            rel = coord_c[:, :, None, :] - pos_g             # (B, M, K, 3)
+            bins = jnp.floor(
+                (rel + 2 * self.window_size - 1e-4) / self.quant_size
+            ).astype(jnp.int32)
+            bins = jnp.clip(bins, 0, 2 * L - 1)              # (B, M, K, 3)
 
-        out = jnp.einsum("bnkh,bnkhd->bnhd", attn.astype(v_g.dtype), v_g)
-        out = out.reshape(b, n, self.dim)
+            if self.rel_query:
+                logits = logits + sum(
+                    head_sum(qf[:, :, None, :] * tq[a][bins[..., a]])
+                    for a in range(3)
+                )
+            if self.rel_key:
+                logits = logits + sum(
+                    head_sum(k_g.astype(jnp.float32) * tk[a][bins[..., a]])
+                    for a in range(3)
+                )
+
+            att_mask = km_c & m_c[..., None]
+            attn = masked_softmax(
+                logits, att_mask[..., None], axis=2
+            )                                                # (B, M, K, H)
+
+            if self.rel_value:
+                v_g = v_g + sum(
+                    tv[a][bins[..., a]] for a in range(3)
+                ).astype(v_g.dtype)
+
+            # out[..., h*hd+d] = sum_k attn[..., h] * v_g[..., h*hd+d]
+            attn_c = jnp.repeat(attn.astype(v_g.dtype), hd, axis=-1)
+            return jnp.sum(attn_c * v_g, axis=2)             # (B, M, C)
+
+        if n <= self.query_chunk:
+            out = chunk_fn((q, coord, key_idx, key_mask, mask))
+        else:
+            nc = self.query_chunk
+            n_pad = -(-n // nc) * nc
+            def split(x, fill=0):
+                x = jnp.pad(x, ((0, 0), (0, n_pad - n)) +
+                            ((0, 0),) * (x.ndim - 2),
+                            constant_values=fill)
+                return x.reshape(b, n_pad // nc, nc,
+                                 *x.shape[2:]).swapaxes(0, 1)
+            out = jax.lax.map(chunk_fn, (
+                split(q), split(coord), split(key_idx),
+                split(key_mask, fill=False), split(mask, fill=False),
+            ))                                               # (S, B, nc, C)
+            out = out.swapaxes(0, 1).reshape(b, n_pad, c)[:, :n]
+
         out = nn.Dense(self.dim, name="proj")(out)
         return jnp.where(mask[..., None], out, 0.0)
 

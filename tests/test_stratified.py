@@ -227,3 +227,38 @@ class TestFixedKTruncationParity:
 
         np.testing.assert_allclose(
             np.asarray(out[0]), expected, rtol=2e-3, atol=2e-3)
+
+
+def test_query_chunked_attention_matches_single_shot(rng):
+    """The lax.map query-streaming path (n > query_chunk) must be exactly
+    the single-chunk computation — it only bounds peak HBM temps."""
+    from pointcloudpdf_tpu.models.stratified_transformer.st import (
+        StratifiedWindowAttention, _window_ids)
+    from pointcloudpdf_tpu.ops.geometry import knn
+
+    B, N, dim, heads, K = 2, 50, 16, 2, 8
+    window, quant = 0.5, 0.05
+    coord = jnp.asarray(rng.rand(B, N, 3).astype(np.float32))
+    feat = jnp.asarray(rng.rand(B, N, dim).astype(np.float32))
+    mask = np.ones((B, N), bool)
+    mask[:, -5:] = False
+    mask = jnp.asarray(mask)
+
+    win = _window_ids(coord, mask, window, shift=False)
+    idx_l, d_l = jax.vmap(lambda c, m: knn(c, c, K, ref_mask=m))(coord, mask)
+    win_l = jnp.take_along_axis(
+        win, idx_l.reshape(B, -1), axis=1).reshape(idx_l.shape)
+    key_mask = jnp.isfinite(d_l) & (win_l == win[..., None])
+    key_idx = jnp.where(key_mask, idx_l, 0)
+
+    outs = []
+    for chunk in (N, 16):  # single shot vs 4 chunks (with padding tail)
+        attn = StratifiedWindowAttention(
+            dim, heads, window, quant, query_chunk=chunk)
+        variables = jit_init(attn, jax.random.PRNGKey(0),
+                             feat, coord, key_idx, key_mask, mask,
+                             train=False)
+        outs.append(np.asarray(jit_apply(
+            attn, variables, feat, coord, key_idx, key_mask, mask,
+            train=False)))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5, atol=1e-5)
