@@ -570,6 +570,7 @@ class OpenSegTrainer(Trainer):
         rec = self.recognizer
         rec.set_epoch(self.epoch)
         rec_w = rec.loss_weight(self.epoch)
+        pseudo_flagged = None
         if getattr(rec, "has_pseudo_labeling", False) and rec.needs_pseudo(
             self.epoch
         ):
@@ -588,12 +589,19 @@ class OpenSegTrainer(Trainer):
             batch["segment_pseudo"] = shard_batch(
                 {"segment_pseudo": segment_pseudo}, self.mesh
             )["segment_pseudo"]
+            # surfaced via InformationWriter so runs (and the CLI
+            # convergence proof) can see the pseudo-labeling fire
+            valid = np.asarray(jax.device_get(batch["mask"]))
+            pseudo_flagged = float(masks[valid].mean()) if valid.any() else 0.0
 
         rng = jax.random.fold_in(self._base_rng, self._host_step + 1)
         self.state, out = self._train_step(
             self.state, batch, rng, jnp.asarray(rec_w, jnp.float32)
         )
         self._host_step += 1
+        if pseudo_flagged is not None:
+            out = dict(out)
+            out["pseudo_flagged"] = pseudo_flagged
         self.comm_info["model_output_dict"] = out
         self.comm_info["lr"] = float(self.scheduler(max(self._host_step - 1, 0)))
 

@@ -128,6 +128,60 @@ train = dict(type="OpenSegTrainer")
 test = dict(type="OpenSegTester", verbose=True)
 """
 
+# the full PDF recognizer: PTRecognizer U-decoder + pseudo-labeling
+# firing from start_epoch on (VERDICT r2 item 4a — previously only the
+# MSP baseline was driven through the CLI)
+CFG_PDF = CFG_OPENSEG.replace(
+    'recognizer = dict(type="MaxProbability", method="msp")',
+    """recognizer = dict(
+    type="PointPdf-v1m1",
+    recognizer=dict(type="PointTransformer-Recognizer"),
+    criteria=[dict(type="CrossEntropyLoss", loss_weight=1.0,
+                   ignore_index=-1)],
+    loss_weight=0.05,
+    step_loss_weight=False,
+    num_classes=4,
+    # trainer epochs = epoch // (epoch // eval_epoch) = 4 here (the loop
+    # fold); fire pseudo-labeling for the last two of them
+    start_epoch=2,
+    kp_ball_radius=0.5,
+    kp_max_neighbor=8,
+    condition_from="msp",
+    beta=1.5,
+    seed_from="ml",
+    seed_range=0.1,
+    num_seed=8,
+    slide_window=True,
+    pseudo_jobs=1,
+)""")
+
+CFG_INCR = CFG_COMMON + """
+incr_resume = False
+incr_ckpt = None
+base_ckpt = None
+load_base_weight_to_incr_learner = True
+base_weight_process_func = "trim_base_weight_head"
+unknown_label = [3]
+incr_label_remap = dict([(3, 4)])
+incr_label_select = [3]
+incremental_learner = dict(
+    type="PointPdf-incr-v1m1",
+    backbone=dict(type="PointTransformer-Seg26", in_channels=6,
+                  num_classes=5),
+    eval_criteria=[dict(type="CrossEntropyLoss", loss_weight=1,
+                        ignore_index=-1)],
+)
+hooks = [
+    dict(type="IncrSegCheckpointLoader"),
+    dict(type="IterationTimer", warmup_iter=1),
+    dict(type="InformationWriter"),
+    dict(type="IncrSegEvaluator"),
+    dict(type="IncrSegCheckpointSaver"),
+]
+train = dict(type="IncrSegTrainer")
+test = dict(type="IncrSegTester", verbose=True)
+"""
+
 
 @pytest.fixture(scope="module")
 def synth_root(tmp_path_factory):
@@ -177,22 +231,37 @@ def _mious(log_text):
 def _write_cfg(tmp_path, template, synth_root, name):
     cfg_path = str(tmp_path / f"{name}.py")
     save_path = str(tmp_path / f"exp_{name}")
-    openseg = "unknown_label" in template
+    if "incremental_learner" in template:
+        label_tf = ('dict(type="RemapLabel", remap_dict=dict([(3, 4)]), '
+                    "remap_select=[3]),\n        ")
+        extra_keys = ', "segment_incr", "segment_incr_remap"'
+    elif "unknown_label" in template:
+        label_tf = 'dict(type="MaskLabel", mask_label=[3]),\n        '
+        extra_keys = ', "segment_known"'
+    else:
+        label_tf, extra_keys = "", ""
     body = template.format(
         names=NAMES, data_root=synth_root,
         train_transform=_TRAIN_TRANSFORM.format(
-            mask_label='dict(type="MaskLabel", mask_label=[3]),\n        '
-            if openseg else "",
-            extra_keys=', "segment_known"' if openseg else ""),
+            mask_label=label_tf, extra_keys=extra_keys),
     ) + f"\nsave_path = {save_path!r}\n"
     with open(cfg_path, "w") as f:
         f.write(body)
     return cfg_path, save_path
 
 
-def test_semseg_cli_convergence(tmp_path, synth_root):
-    cfg_path, save_path = _write_cfg(tmp_path, CFG_SEMSEG, synth_root, "semseg")
+@pytest.fixture(scope="module")
+def semseg_run(tmp_path_factory, synth_root):
+    """Closed-set CLI training run, shared by the semseg assertion and
+    (as the distillation base checkpoint) the incremental case."""
+    tmp = tmp_path_factory.mktemp("semseg_cli")
+    cfg_path, save_path = _write_cfg(tmp, CFG_SEMSEG, synth_root, "semseg")
     log = _run_cli("train.py", cfg_path)
+    return cfg_path, save_path, log
+
+
+def test_semseg_cli_convergence(semseg_run):
+    cfg_path, save_path, log = semseg_run
     mious = _mious(log)
     assert mious, f"no eval metrics logged:\n{log[-3000:]}"
     # separable 4-class toy: the final eval must largely solve it
@@ -223,3 +292,51 @@ def test_openseg_cli_convergence(tmp_path, synth_root):
     assert m, f"tester produced no aupr/auroc:\n{test_log[-3000:]}"
     auroc = float(m.group(2))
     assert auroc > 0.5, f"unknown detection no better than chance: {auroc}"
+
+
+def test_pointpdf_cli_convergence(tmp_path, synth_root):
+    """The full PDF flow through the CLI (VERDICT r2 item 4a): PointPdf
+    recognizer with the PTRecognizer U-decoder, pseudo-labeling active
+    from start_epoch on — asserted to actually fire (non-trivial flag
+    fraction in the step log) — and unknown scoring beating chance."""
+    cfg_path, save_path = _write_cfg(tmp_path, CFG_PDF, synth_root, "pdf")
+    log = _run_cli("train.py", cfg_path, timeout=2400)
+    mious = _mious(log)
+    assert mious and mious[-1] >= 0.6, f"pdf mIoU history {mious}"
+    flagged = [float(m.group(1)) for m in re.finditer(
+        r"pseudo_flagged: (\d\.\d+)", log)]
+    assert flagged, f"pseudo-labeling never ran:\n{log[-3000:]}"
+    assert max(flagged) > 0.0, "pseudo-labeling never flagged any point"
+
+    best = os.path.join(save_path, "model", "model_best_auroc.pth")
+    if not os.path.isfile(best):
+        best = os.path.join(save_path, "model", "model_best_mIoU.pth")
+    assert os.path.isfile(best)
+    test_log = _run_cli("test.py", cfg_path, [f"weight={best}"])
+    m = re.search(r"aupr/auroc (\d\.\d+)/(\d\.\d+)", test_log)
+    assert m, f"tester produced no aupr/auroc:\n{test_log[-3000:]}"
+    assert float(m.group(2)) > 0.5, f"PDF AUROC at chance: {m.group(2)}"
+
+
+def test_incrseg_cli_convergence(tmp_path, synth_root, semseg_run):
+    """Incremental distillation through the CLI (VERDICT r2 item 4b):
+    the semseg run's best checkpoint becomes the frozen teacher; the
+    student gains a class-4 head for remapped class 3.  Asserts the
+    known/incr/remap metric triple is logged and remap mIoU converges."""
+    _, semseg_save, _ = semseg_run
+    base = os.path.join(semseg_save, "model", "model_best.pth")
+    assert os.path.isfile(base)
+    cfg_path, save_path = _write_cfg(tmp_path, CFG_INCR, synth_root, "incr")
+    log = _run_cli("train.py", cfg_path, [f"base_ckpt={base}"],
+                   timeout=2400)
+    triples = {}
+    for m in re.finditer(
+            r"mIoU/mAcc/Acc (known|incr|remap) (\d\.\d+)", log):
+        triples.setdefault(m.group(1), []).append(float(m.group(2)))
+    assert set(triples) == {"known", "incr", "remap"}, (
+        f"missing metric splits {triples.keys()}:\n{log[-3000:]}")
+    assert triples["remap"][-1] >= 0.5, (
+        f"incremental remap mIoU never converged: {triples['remap']}")
+    # distillation must preserve the teacher's known classes
+    assert triples["known"][-1] >= 0.6, (
+        f"distillation forgot known classes: {triples['known']}")
