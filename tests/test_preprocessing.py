@@ -371,3 +371,38 @@ def test_waymo_frame_writer(tmp_path):
     seg = np.fromfile(os.path.join(save, "labels", "000000.label"),
                       dtype=np.int32).reshape(-1, 2)[:, 1] - 1
     np.testing.assert_array_equal(seg, labels[:, 1] - 1)
+
+
+def test_preprocess_s3dis_voxelized(tmp_path):
+    from pointcloudpdf_tpu.datasets.preprocessing.preprocess_s3dis_voxelized import (
+        voxelize_room)
+
+    rng = np.random.RandomState(0)
+    # two points per 1cm voxel + one lone voxel; voxel-center anchors so
+    # the +1mm twin never crosses a boundary
+    cells = np.stack(np.unravel_index(
+        rng.choice(100 ** 3, 40, replace=False), (100, 100, 100)), 1)
+    base = ((cells + 0.5) / 100.0).astype(np.float32)
+    coord = np.concatenate([base, base + 0.001, [[9.0, 9.0, 9.0]]])
+    room = dict(
+        coord=coord,
+        color=rng.randint(0, 255, (81, 3)).astype(np.uint8),
+        semantic_gt=rng.randint(0, 13, (81,)).astype(np.int64),
+        instance_gt=rng.randint(0, 5, (81,)).astype(np.int64),
+    )
+    src = tmp_path / "in" / "Area_1"
+    src.mkdir(parents=True)
+    np.savez(src / "office_1.npz", **room)
+
+    out = voxelize_room(str(src / "office_1.npz"), str(tmp_path / "in"),
+                        str(tmp_path / "out"), 0.01)
+    assert out.endswith(os.path.join("Area_1", "office_1.npz"))
+    data = np.load(out)
+    # every duplicate pair collapses to one pick; the lone voxel survives
+    assert data["coord"].shape == (41, 3)
+    assert set(data.files) >= {"coord", "color", "semantic_gt", "instance_gt"}
+    # picked rows keep their original attribute alignment
+    full = {tuple(np.round(c, 4)): s
+            for c, s in zip(coord, room["semantic_gt"])}
+    for c, s in zip(data["coord"], data["semantic_gt"]):
+        assert full[tuple(np.round(c, 4))] == s
