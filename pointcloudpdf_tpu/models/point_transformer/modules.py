@@ -24,6 +24,34 @@ from ...ops.sampling import blocked_farthest_point_sampling
 from ..norm import MaskedBatchNorm
 from ..utils.structure import Points, masked_max, masked_mean, masked_softmax
 
+# Trace-time dispatch for the fused Pallas inference attention kernel
+# (ops/pallas_attention.py): "auto" uses it for eval on TPU, "off" keeps
+# the unfused jnp path, "interpret" forces the kernel in interpreter mode
+# (CPU tests). Training always takes the jnp path — BatchNorm batch
+# statistics are global reductions that cannot fold into the kernel.
+import os as _os
+
+FUSED_ATTENTION = _os.environ.get("PCPDF_FUSED_ATTENTION", "auto")
+
+
+def _bn_affine(bn: MaskedBatchNorm, c: int):
+    """Fold an inference-mode BatchNorm into (scale, shift) by probing.
+
+    Inference BN is affine, so two tiny probe calls recover the folded
+    parameters exactly while creating the module's variables with the
+    same names/shapes as the unfused path.
+    """
+    shift = bn(jnp.zeros((1, c), jnp.float32), train=False)[0]
+    scale = bn(jnp.ones((1, c), jnp.float32), train=False)[0] - shift
+    return scale, shift
+
+
+def _dense_wb(dense: nn.Dense, c_in: int):
+    """Recover (W, b) of a Dense by probing with the identity."""
+    b = dense(jnp.zeros((1, c_in), jnp.float32))[0].astype(jnp.float32)
+    w = dense(jnp.eye(c_in, dtype=jnp.float32)).astype(jnp.float32) - b
+    return w, b
+
 
 class PointTransformerLayer(nn.Module):
     """Vector self-attention over kNN neighborhoods.
@@ -64,6 +92,44 @@ class PointTransformerLayer(nn.Module):
             # the kNN table once and every block reuses it (the reference
             # re-queries per layer, point_transformer_seg.py:48-60)
             idx, nmask = nbr
+
+        mode = FUSED_ATTENTION
+        use_fused = mode in ("interpret",) or (
+            mode == "auto" and not train
+            and jax.default_backend() == "tpu"
+        )
+        if use_fused:
+            # fused Pallas path: the whole post-projection chain runs in
+            # VMEM (ops/pallas_attention.py); modules are probed so the
+            # parameter tree matches the unfused path exactly
+            from ...ops.pallas_attention import fused_vector_attention
+
+            groups = self.out_planes // self.share_planes
+            p1 = dense(3, name="linear_p1")
+            bn_p = MaskedBatchNorm(3, name="bn_p")
+            p2 = dense(self.out_planes, name="linear_p2")
+            bn_w1 = MaskedBatchNorm(mid, name="bn_w1")
+            w1 = dense(groups, name="linear_w1")
+            bn_w2 = MaskedBatchNorm(groups, name="bn_w2")
+            w2 = dense(groups, name="linear_w2")
+
+            p1_w, p1_b = _dense_wb(p1, 3)
+            p2_w, p2_b = _dense_wb(p2, 3)
+            w1_w, w1_b = _dense_wb(w1, mid)
+            w2_w, w2_b = _dense_wb(w2, groups)
+            bnp_s, bnp_t = _bn_affine(bn_p, 3)
+            bnw1_s, bnw1_t = _bn_affine(bn_w1, mid)
+            bnw2_s, bnw2_t = _bn_affine(bn_w2, groups)
+
+            out = fused_vector_attention(
+                x_q.astype(jnp.float32), x_k.astype(jnp.float32),
+                x_v.astype(jnp.float32), coord, idx, nmask,
+                p1_w, p1_b, p2_w, p2_b, w1_w, w1_b, w2_w, w2_b,
+                bnp_s, bnp_t, bnw1_s, bnw1_t, bnw2_s, bnw2_t,
+                share_planes=self.share_planes,
+                interpret=(mode == "interpret"),
+            ).astype(self.dtype)
+            return jnp.where(mask[..., None], out, 0.0)
 
         k_g = jax.vmap(
             lambda f, i, c, nc: grouping(f, i, c, nc, with_coord=True)
