@@ -258,6 +258,38 @@ def bench_quality(rng):
         out["knn_recall"] = round(float(recall), 4)
         assert recall >= 0.99, f"approx kNN recall regressed: {recall}"
 
+        # eval-fragment scale: the bound-pruned Pallas kernel replaced the
+        # XLA approx path at 65k-131k refs (3.5-3.9x measured); record
+        # its live recall + per-fragment latency at the SphereCrop
+        # point_max scale so regressions surface here
+        n_frag = 131072
+        frag = jnp.asarray(rng.rand(n_frag, 3).astype(np.float32) * 5.0)
+        fmask = jnp.ones((n_frag,), bool)
+        knn_frag = jax.jit(lambda q, r, m: knn(q, r, k, ref_mask=m))
+
+        @jax.jit
+        def frag_sum(q, r, m):
+            idx, _ = knn(q, r, k, ref_mask=m)
+            return jnp.sum(idx.astype(jnp.float32))
+
+        _sync_scalar(frag_sum(frag, frag, fmask))
+        t0 = time.perf_counter()
+        _sync_scalar(frag_sum(frag, frag, fmask))
+        # one scalar fetch ~27 ms of tunnel round-trip rides on top; the
+        # kernel itself measures ~58 ms (BASELINE.md shape study)
+        out["knn_fragment_131k_ms"] = round((time.perf_counter() - t0) * 1e3, 1)
+        fidx, _ = knn_frag(frag, frag, fmask)
+        fidx_h = np.asarray(jax.device_get(fidx))
+        sub = rng.choice(n_frag, 2048, replace=False)
+        exact_sub = np.asarray(jax.device_get(
+            exact(frag[sub], frag)))
+        frecall = np.mean([
+            len(set(fidx_h[sub[i]]) & set(exact_sub[i])) / k
+            for i in range(len(sub))
+        ])
+        out["knn_fragment_recall"] = round(float(frecall), 4)
+        assert frecall >= 0.99, f"fragment kNN recall regressed: {frecall}"
+
         # Pallas FPS must match the lax path exactly (same argmax ties)
         coord = jnp.asarray(rng.rand(16384, 3).astype(np.float32))
         m = 2048

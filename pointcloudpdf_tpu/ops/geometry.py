@@ -106,21 +106,20 @@ def knn(
             jnp.concatenate([dist2, pad_d], axis=1),
         )
 
-    # TPU dispatch (numbers from tools/microbench_knn.py +
-    # tools/microbench_tpu.py on this v5e):
+    # TPU dispatch (numbers from tools/microbench_knn.py + the scanned
+    # on-chip shape study in BASELINE.md on this v5e):
     # - lax.top_k lowers to a full sort (~3.7 s for a 4x32768 self-kNN);
     # - the fused Pallas kernel (ops/pallas_knn.py) keeps every distance
-    #   block in VMEM and wins 1.5-2.3x over the XLA approx path
-    #   (B=4 self-kNN k=16: 27.5 vs 40.9 ms at 8k, 52.9 vs 123.3 ms at
-    #   32k; recall 0.993-0.998 vs exact).  Its candidate buffer is
-    #   VMEM-resident (~160 bytes/ref), so Mosaic stops compiling past
-    #   N=32768, and below N=8192 the single-chunk fold sheds same-group
-    #   neighbors (recall < 0.99) while the approx path is already fast;
-    # - the approx-top-k unit fused onto the MXU distance identity
-    #   (~16 ms/32k-sample, recall ~0.997) covers the rest up to ~131k;
-    # - beyond that the O(M*N) select stream dominates and the linear-
-    #   cost serialization-window path (knn_serial) takes over (full-
-    #   scene eval fragments run up to ~800k points).
+    #   block in VMEM; its bound-pruned variant (z-sort + bbox chunk
+    #   skipping) self-selects on large self-kNN.  Measured per-sample
+    #   self-kNN k=16 vs the XLA approx path: 23.0 vs ~31 ms at 32k,
+    #   16.6 vs 57.5 ms at 65k, 58.0 vs 224.0 ms at 131k (recall
+    #   0.9985-0.9998 vs exact, >= the approx path's).  Below N=8192 the
+    #   single-chunk fold sheds same-group neighbors (recall < 0.99)
+    #   while the approx path is already fast;
+    # - beyond 131072 the candidate scratch outgrows VMEM and the
+    #   linear-cost serialization-window path (knn_serial) takes over
+    #   (full-scene eval fragments run up to ~800k points).
     # Geometry consumers mask by validity, so a sub-1% neighbor swap is
     # within the padding noise.
     if FORCE_KNN_PATH == "serial":
@@ -138,7 +137,7 @@ def knn(
         return _knn_chunked(query, ref, k, ref_mask, chunk_size, query_tile)
     if jax.default_backend() == "tpu" and N > 131072:
         return knn_serial(query, ref, k, ref_mask)
-    if jax.default_backend() == "tpu" and 8192 <= N <= 32768 and k <= 64:
+    if jax.default_backend() == "tpu" and 8192 <= N <= 131072 and k <= 64:
         from .pallas_knn import knn_pallas
 
         idx, dist2 = knn_pallas(query, ref, k, ref_mask)
