@@ -422,14 +422,12 @@ def bench_ptv3(rng):
     from pointcloudpdf_tpu.models import build_model
 
     side = int(np.ceil(np.sqrt(N_POINTS)))
+    bk = dict(type="PT-v3m1", in_channels=6,
+              level_capacity_factor=0.5,
+              dense_extent=(side, side, 256))
+    crit = [dict(type="CrossEntropyLoss", loss_weight=1.0, ignore_index=-1)]
     model = build_model(dict(
-        type="DefaultSegmentor",
-        backbone=dict(type="PT-v3m1", in_channels=6,
-                      level_capacity_factor=0.5,
-                      dense_extent=(side, side, 256)),
-        criteria=[dict(type="CrossEntropyLoss", loss_weight=1.0,
-                       ignore_index=-1)],
-    ))
+        type="DefaultSegmentor", backbone=bk, criteria=crit))
     grids = jnp.asarray(_surface_grids(rng, ITERS, BATCH, N_POINTS))
     coords = grids.astype(jnp.float32) * 0.02
     feats = jnp.asarray(rng.rand(ITERS, BATCH, N_POINTS, 6).astype(np.float32))
@@ -438,7 +436,12 @@ def bench_ptv3(rng):
                  mask=mask)
     variables = jax.jit(functools.partial(model.init, train=False))(
         {"params": jax.random.PRNGKey(0)}, batch)
-    _assert_no_capacity_drops(model, variables, batch)
+    # identical params, coverage + capacity diagnostics enabled: asserts
+    # the window conv misses zero neighbors and pooling drops nothing
+    model_chk = build_model(dict(
+        type="DefaultSegmentor",
+        backbone=dict(bk, conv_coverage_check=True), criteria=crit))
+    _assert_no_capacity_drops(model_chk, variables, batch)
     # PTv3 ends in a 64-ch head over (B, N): project to classes externally
     with jax.default_matmul_precision("bfloat16"):
         def fwd(coord, grid, feat):

@@ -46,7 +46,7 @@ from ...ops.voxel import (
 )
 from ..builder import MODELS
 from ..norm import MaskedBatchNorm, PDLayerNorm
-from ..sparse_unet.spconv_unet import SubMConv, _bn_factory
+from ..sparse_unet.spconv_unet import SubMConv, WindowSubMConv, _bn_factory
 
 _trunc02 = nn.initializers.truncated_normal(stddev=0.02)
 
@@ -197,6 +197,12 @@ class Block(nn.Module):
     qkv_bias: bool = True
     enable_rpe: bool = False
     ln: Optional[object] = None
+    # window-conv mode (dense_extent path): host numpy kernel offsets +
+    # window width; engaged when nbr is None.  conv_extent (set on one
+    # block per stage) additionally sows the exact coverage diagnostic.
+    conv_offsets: Optional[object] = None
+    conv_window: int = 1024
+    conv_extent: Optional[object] = None
 
     @nn.compact
     def __call__(self, feat, nbr, order, inverse, mask, train: bool,
@@ -207,8 +213,26 @@ class Block(nn.Module):
         flat = feat.reshape(b * n, -1)
 
         # xCPE: SubMConv3d + Linear + LayerNorm, residual
-        y = SubMConv(self.channels, self.channels, nbr.shape[-1],
-                     use_bias=True, name="cpe_conv")(flat, nbr)
+        if nbr is None:
+            # gather-free sorted-window implicit GEMM (rows are raster
+            # ranks on the dense_extent path)
+            y3, ms = WindowSubMConv(
+                self.channels, self.channels, self.conv_offsets,
+                use_bias=True, window=self.conv_window,
+                name="cpe_conv")(feat, grid, mask)
+            if self.conv_extent is not None:
+                from ...ops.window_conv import window_match_counts
+
+                missed = jnp.sum(jax.vmap(
+                    lambda s_, g_, m_: window_match_counts(
+                        s_, g_, m_, self.conv_offsets,
+                        tuple(self.conv_extent))
+                )(ms, grid, mask))
+                self.sow("diagnostics", "conv_window_missed", missed)
+            y = y3.reshape(b * n, -1)
+        else:
+            y = SubMConv(self.channels, self.channels, nbr.shape[-1],
+                         use_bias=True, name="cpe_conv")(flat, nbr)
         y = nn.Dense(self.channels, kernel_init=_trunc02, name="cpe_fc")(y)
         y = ln(self.channels, name="cpe_norm")(y, flat_mask, train, context)
         flat = flat + jnp.where(flat_mask[:, None], y, 0.0)
@@ -288,6 +312,12 @@ class PointTransformerV3(nn.Module):
     # (tools/profile_ptv3.py, tools/microbench_voxel.py).  None keeps
     # the extent-free hash path.
     dense_extent: Optional[Sequence[int]] = None
+    # sorted-window implicit-GEMM conv (dense path): rank-window width
+    # for the xCPE/stem taps; conv_coverage_check sows the exact
+    # missed-neighbor count per stage ("conv_window_missed" — bench and
+    # tests assert 0; production leaves it off)
+    conv_window: int = 1024
+    conv_coverage_check: bool = False
 
     @nn.compact
     def __call__(self, input_dict: Dict, train: bool = True,
@@ -355,10 +385,25 @@ class PointTransformerV3(nn.Module):
                    else unique_parents)
 
         # stem embedding: SubMConv k5 + BN + relu (reference Embedding)
-        nbr5 = flatten_neighbor_rows(make_nbr(grid, mask, off5, 0))
         flat_mask = mask.reshape(b * n)
-        y = SubMConv(self.in_channels, self.enc_channels[0], off5.shape[0],
-                     name="embedding")(feat.reshape(b * n, -1), nbr5)
+        if self.dense_extent is None:
+            nbr5 = flatten_neighbor_rows(make_nbr(grid, mask, off5, 0))
+            y = SubMConv(self.in_channels, self.enc_channels[0],
+                         off5.shape[0], name="embedding")(
+                             feat.reshape(b * n, -1), nbr5)
+        else:
+            y3, ms5 = WindowSubMConv(
+                self.in_channels, self.enc_channels[0], off5,
+                window=self.conv_window, name="embedding")(feat, grid, mask)
+            if self.conv_coverage_check:
+                from ...ops.window_conv import window_match_counts
+
+                missed5 = jnp.sum(jax.vmap(
+                    lambda s_, g_, m_: window_match_counts(
+                        s_, g_, m_, off5, level_extent(0))
+                )(ms5, grid, mask))
+                self.sow("diagnostics", "conv_window_missed", missed5)
+            y = y3.reshape(b * n, -1)
         y = bn(self.enc_channels[0], name="embedding_bn")(
             y, flat_mask, train, ctx
         )
@@ -414,7 +459,9 @@ class PointTransformerV3(nn.Module):
                 ).reshape(b, cap, -1)
 
             g, m = level["grid"], level["mask"]
-            stage_nbr = flatten_neighbor_rows(make_nbr(g, m, off3, s))
+            dense = self.dense_extent is not None
+            stage_nbr = (None if dense else
+                         flatten_neighbor_rows(make_nbr(g, m, off3, s)))
             perms, invs = _sort_orders(g, m, orders)
             base = sum(self.enc_depths[:s])
             for i in range(self.enc_depths[s]):
@@ -423,7 +470,12 @@ class PointTransformerV3(nn.Module):
                     self.enc_channels[s], self.enc_num_head[s],
                     self.enc_patch_size[s], self.mlp_ratio,
                     enc_dp[base + i], self.qkv_bias, self.enable_rpe,
-                    ln, name=f"enc{s}_block{i}",
+                    ln, conv_offsets=off3 if dense else None,
+                    conv_window=self.conv_window,
+                    conv_extent=(level_extent(s)
+                                 if dense and self.conv_coverage_check
+                                 and i == 0 else None),
+                    name=f"enc{s}_block{i}",
                 )(feat, stage_nbr, perms[oi], invs[oi], m, train, grid=g,
                   context=ctx)
             # the decoder revisits the same levels: reuse the neighbor
@@ -473,7 +525,10 @@ class PointTransformerV3(nn.Module):
                         dec_channels[s], self.dec_num_head[s],
                         self.dec_patch_size[s], self.mlp_ratio,
                         dec_dp[base + i], self.qkv_bias, self.enable_rpe,
-                        ln, name=f"dec{s}_block{i}",
+                        ln,
+                        conv_offsets=(off3 if stage_nbr is None else None),
+                        conv_window=self.conv_window,
+                        name=f"dec{s}_block{i}",
                     )(feat, stage_nbr, perms[oi], invs[oi], m, train, grid=g,
                       context=ctx)
             out = jnp.where(level["mask"][..., None], feat, 0.0)

@@ -85,6 +85,43 @@ class SubMConv(nn.Module):
         return y
 
 
+class WindowSubMConv(nn.Module):
+    """Submanifold conv via the sorted-window implicit GEMM.
+
+    Parameter-compatible with :class:`SubMConv` (same "kernel"/"bias"
+    shapes for the same offset count), but gather-free: rows must be
+    raster-sorted (ops/voxel.raster_sort) and the kernel taps resolve as
+    0/1 match matrices contracted on the MXU
+    (ops/window_conv.window_submconv).  Returns (out, match_sum) — the
+    caller sows the coverage diagnostic via
+    ops/window_conv.window_match_counts.
+    """
+
+    in_channels: int
+    out_channels: int
+    offsets: object        # host numpy (K, 3) kernel offsets
+    use_bias: bool = False
+    tile: int = 256
+    window: int = 1024
+
+    @nn.compact
+    def __call__(self, feat, grid, mask):
+        from ...ops.window_conv import window_submconv
+
+        k = int(self.offsets.shape[0])
+        w = self.param(
+            "kernel", _trunc02, (k, self.in_channels, self.out_channels))
+        b = (self.param("bias", nn.initializers.zeros, (self.out_channels,))
+             if self.use_bias else None)
+        n_pad = -(-feat.shape[1] // self.tile) * self.tile
+        win = min(self.window, 2 * n_pad)
+        out, ms = jax.vmap(
+            lambda f, g, m: window_submconv(
+                f, g, m, self.offsets, w, b, tile=self.tile, window=win)
+        )(feat, grid, mask)
+        return out, ms  # (B,) per-sample realized match counts
+
+
 class SparseDownConv(nn.Module):
     """2x strided conv: children scatter onto parent voxels.
 
