@@ -375,18 +375,15 @@ def bench_spunet(rng):
     from pointcloudpdf_tpu.models import build_model
 
     side = int(np.ceil(np.sqrt(N_POINTS)))
+    bk = dict(type="SpUNet-v1m1", in_channels=6,
+              num_classes=NUM_CLASSES,
+              level_capacity_factor=0.5,
+              # bench surface sheets are side x side x 256; the dense
+              # path runs the sorted-window implicit-GEMM convs
+              dense_extent=(side, side, 256))
+    crit = [dict(type="CrossEntropyLoss", loss_weight=1.0, ignore_index=-1)]
     model = build_model(dict(
-        type="DefaultSegmentor",
-        backbone=dict(type="SpUNet-v1m1", in_channels=6,
-                      num_classes=NUM_CLASSES,
-                      level_capacity_factor=0.5,
-                      # bench surface sheets are side x side x 256; the
-                      # dense-occupancy rulebook replaces the per-level
-                      # hash builds (ops/voxel.neighbor_table_dense)
-                      dense_extent=(side, side, 256)),
-        criteria=[dict(type="CrossEntropyLoss", loss_weight=1.0,
-                       ignore_index=-1)],
-    ))
+        type="DefaultSegmentor", backbone=bk, criteria=crit))
     grids = jnp.asarray(_surface_grids(rng, ITERS, BATCH, N_POINTS))
     feats = jnp.asarray(rng.rand(ITERS, BATCH, N_POINTS, 6).astype(np.float32))
     mask = jnp.ones((BATCH, N_POINTS), bool)
@@ -394,7 +391,10 @@ def bench_spunet(rng):
                  coord=grids[0].astype(jnp.float32) * 0.02)
     variables = jax.jit(functools.partial(model.init, train=False))(
         {"params": jax.random.PRNGKey(0)}, batch)
-    _assert_no_capacity_drops(model, variables, batch)
+    model_chk = build_model(dict(
+        type="DefaultSegmentor",
+        backbone=dict(bk, conv_coverage_check=True), criteria=crit))
+    _assert_no_capacity_drops(model_chk, variables, batch)
 
     with jax.default_matmul_precision("bfloat16"):
         def fwd(grid, feat):

@@ -85,6 +85,30 @@ class SubMConv(nn.Module):
         return y
 
 
+def _make_conv(nbr, wctx):
+    """Uniform conv applicator for the blocks: gather-based SubMConv when
+    a neighbor table is given, sorted-window implicit GEMM otherwise
+    (wctx = dict(grid, mask, offsets, window) at the block's level)."""
+    if nbr is not None:
+        def apply(cls, c_in, c_out, name):
+            def run(feat):
+                return cls(c_in, c_out, nbr.shape[-1], name=name)(feat, nbr)
+            return run
+        return apply
+
+    b, nl = wctx["mask"].shape
+
+    def apply(cls, c_in, c_out, name):
+        def run(feat):
+            y3, _ = cls(c_in, c_out, wctx["offsets"],
+                        window=wctx["window"], name=name)(
+                            feat.reshape(b, nl, c_in),
+                            wctx["grid"], wctx["mask"])
+            return y3.reshape(b * nl, c_out)
+        return run
+    return apply
+
+
 class WindowSubMConv(nn.Module):
     """Submanifold conv via the sorted-window implicit GEMM.
 
@@ -184,7 +208,8 @@ class BasicBlock(nn.Module):
     norm: Any = None
 
     @nn.compact
-    def __call__(self, feat, nbr, mask, train: bool, context=None):
+    def __call__(self, feat, nbr, mask, train: bool, context=None,
+                 wctx=None):
         bn = self.norm or _bn_factory()
         identity = feat
         if self.in_channels != self.embed_channels:
@@ -195,15 +220,13 @@ class BasicBlock(nn.Module):
             identity = bn(self.embed_channels, name="proj_bn")(
                 identity, mask, train, context
             )
-        k = nbr.shape[-1]
-        y = SubMConv(self.in_channels, self.embed_channels, k, name="conv1")(
-            feat, nbr
-        )
+        conv = _make_conv(nbr, wctx)
+        y = conv(SubMConv if nbr is not None else WindowSubMConv,
+                 self.in_channels, self.embed_channels, "conv1")(feat)
         y = bn(self.embed_channels, name="bn1")(y, mask, train, context)
         y = nn.relu(y)
-        y = SubMConv(self.embed_channels, self.embed_channels, k, name="conv2")(
-            y, nbr
-        )
+        y = conv(SubMConv if nbr is not None else WindowSubMConv,
+                 self.embed_channels, self.embed_channels, "conv2")(y)
         y = bn(self.embed_channels, name="bn2")(y, mask, train, context)
         y = nn.relu(y + identity)
         return jnp.where(mask[:, None], y, 0.0)
@@ -219,7 +242,8 @@ class BottleneckBlock(nn.Module):
     norm: Any = None
 
     @nn.compact
-    def __call__(self, feat, nbr, mask, train: bool, context=None):
+    def __call__(self, feat, nbr, mask, train: bool, context=None,
+                 wctx=None):
         bn = self.norm or _bn_factory()
         out_channels = self.embed_channels * self.expansion
         identity = feat
@@ -235,8 +259,9 @@ class BottleneckBlock(nn.Module):
                      kernel_init=_trunc02, name="conv1")(feat)
         y = bn(self.embed_channels, name="bn1")(y, mask, train, context)
         y = nn.relu(y)
-        y = SubMConv(self.embed_channels, self.embed_channels,
-                     nbr.shape[-1], name="conv2")(y, nbr)
+        conv = _make_conv(nbr, wctx)
+        y = conv(SubMConv if nbr is not None else WindowSubMConv,
+                 self.embed_channels, self.embed_channels, "conv2")(y)
         y = bn(self.embed_channels, name="bn2")(y, mask, train, context)
         y = nn.relu(y)
         y = nn.Dense(out_channels, use_bias=False,
@@ -282,6 +307,11 @@ class SpUNet(nn.Module):
     # None keeps the extent-free hash path (outdoor LiDAR extents are
     # too large to allocate densely).
     dense_extent: Optional[Sequence[int]] = None
+    # sorted-window implicit-GEMM conv (dense path): rank-window width;
+    # conv_coverage_check sows the exact per-level missed-neighbor count
+    # ("conv_window_missed") for bench/tests to assert 0
+    conv_window: int = 1024
+    conv_coverage_check: bool = False
 
     @nn.compact
     def __call__(self, input_dict: Dict, train: bool = True,
@@ -335,20 +365,52 @@ class SpUNet(nn.Module):
 
         off5 = kernel_offsets(5)
         off3 = kernel_offsets(3)
-        nbr5 = _flatten_nbr(make_nbr(grid, mask, off5, 0))
+        dense = self.dense_extent is not None
         flat_feat = feat.reshape(b * n, -1)
         flat_mask = mask.reshape(b * n)
 
-        y = SubMConv(self.in_channels, self.base_channels, off5.shape[0],
-                     name="conv_input")(flat_feat, nbr5)
+        def make_wctx(g, m, s):
+            w = dict(grid=g, mask=m, offsets=off3, window=self.conv_window)
+            if self.conv_coverage_check:
+                from ...ops.window_conv import (window_match_counts,
+                                                window_match_sum)
+
+                ms = jax.vmap(lambda gg, mm: window_match_sum(
+                    gg, mm, off3, window=self.conv_window))(g, m)
+                missed = jnp.sum(jax.vmap(
+                    lambda s_, gg, mm: window_match_counts(
+                        s_, gg, mm, off3, level_extent(s))
+                )(ms, g, m))
+                self.sow("diagnostics", "conv_window_missed", missed)
+            return w
+
+        if dense:
+            y3, ms5 = WindowSubMConv(
+                self.in_channels, self.base_channels, off5,
+                window=self.conv_window, name="conv_input")(feat, grid, mask)
+            if self.conv_coverage_check:
+                from ...ops.window_conv import window_match_counts
+
+                missed5 = jnp.sum(jax.vmap(
+                    lambda s_, g_, m_: window_match_counts(
+                        s_, g_, m_, off5, level_extent(0))
+                )(ms5, grid, mask))
+                self.sow("diagnostics", "conv_window_missed", missed5)
+            y = y3.reshape(b * n, -1)
+        else:
+            nbr5 = _flatten_nbr(make_nbr(grid, mask, off5, 0))
+            y = SubMConv(self.in_channels, self.base_channels,
+                         off5.shape[0], name="conv_input")(flat_feat, nbr5)
         y = bn(self.base_channels, name="bn_input")(y, flat_mask, train, ctx)
         y = nn.relu(y)
         y = jnp.where(flat_mask[:, None], y, 0.0)
 
-        # encoder: per level keep (feat, grid, mask, nbr) + down maps
+        # encoder: per level keep (feat, mask, nbr-or-window-ctx) + maps
         level_grid, level_mask = grid, mask
-        nbr3 = _flatten_nbr(make_nbr(level_grid, level_mask, off3, 0))
-        skips = [(y, flat_mask, nbr3)]
+        nbr3 = (None if dense else
+                _flatten_nbr(make_nbr(level_grid, level_mask, off3, 0)))
+        wctx = make_wctx(level_grid, level_mask, 0) if dense else None
+        skips = [(y, flat_mask, nbr3, wctx)]
         down_maps = []  # (c2p_flat, pos, valid, child_mask_flat)
         enc_channels = self.base_channels
         level_n = n
@@ -387,25 +449,27 @@ class SpUNet(nn.Module):
             down_maps.append((c2p_flat, pos, valid))
 
             level_grid, level_mask = p_grid, p_mask
-            nbr3 = _flatten_nbr(
-                make_nbr(level_grid, level_mask, off3, s + 1))
+            nbr3 = (None if dense else _flatten_nbr(
+                make_nbr(level_grid, level_mask, off3, s + 1)))
+            wctx = (make_wctx(level_grid, level_mask, s + 1)
+                    if dense else None)
             for i in range(self.layers[s]):
                 y = block_cls(
                     y.shape[-1], self.channels[s], norm=bn,
                     name=f"enc{s}_block{i}",
-                )(y, nbr3, flat_p_mask, train, ctx)
+                )(y, nbr3, flat_p_mask, train, ctx, wctx=wctx)
             enc_channels = y.shape[-1]
-            skips.append((y, flat_p_mask, nbr3))
+            skips.append((y, flat_p_mask, nbr3, wctx))
 
         if not self.cls_mode:
             # decoder mirrors the encoder through the saved down maps;
             # up[s] outputs channels[len-s-1] (the reference's build-loop
             # dec_channels at step s, spconv_unet_v1m1_base.py:166-212)
-            y, out_mask, _ = skips.pop()
+            y, out_mask, _, _ = skips.pop()
             for s in reversed(range(num_stages)):
                 dec_channels = self.channels[len(self.channels) - s - 1]
                 c2p_flat, pos, valid = down_maps[s]
-                skip_feat, skip_mask, skip_nbr = skips.pop()
+                skip_feat, skip_mask, skip_nbr, skip_wctx = skips.pop()
                 y = SparseInverseConv(
                     y.shape[-1], dec_channels, name=f"up{s}"
                 )(y, c2p_flat, pos, valid)
@@ -418,7 +482,7 @@ class SpUNet(nn.Module):
                 for i in range(n_blocks):
                     y = block_cls(y.shape[-1], dec_channels, norm=bn,
                                   name=f"dec{s}_block{i}")(
-                        y, skip_nbr, skip_mask, train, ctx
+                        y, skip_nbr, skip_mask, train, ctx, wctx=skip_wctx
                     )
                 out_mask = skip_mask
         else:

@@ -59,7 +59,7 @@ def window_match_counts(match_sum: jnp.ndarray, grid: jnp.ndarray,
     x_ext, y_ext, z_ext = extent
     occ = build_occupancy(grid, mask, extent)[..., 1].astype(jnp.uint32)
     off_np = np.asarray(offsets)
-    total = jnp.zeros((), jnp.int64)
+    total = jnp.zeros((), jnp.int32)
     w = occ.shape[-1]
     for ki in range(off_np.shape[0]):
         dx, dy, dz = (int(off_np[ki, 0]), int(off_np[ki, 1]),
@@ -97,8 +97,21 @@ def window_match_counts(match_sum: jnp.ndarray, grid: jnp.ndarray,
             else:
                 raise ValueError("window conv supports |dz| < 32")
         total = total + jnp.sum(
-            jax.lax.population_count(occ & sh).astype(jnp.int64))
-    return total - match_sum.astype(jnp.int64)
+            jax.lax.population_count(occ & sh).astype(jnp.int32))
+    return total - match_sum.astype(jnp.int32)
+
+
+def window_match_sum(grid: jnp.ndarray, mask: jnp.ndarray,
+                     offsets: jnp.ndarray, tile: int = 256,
+                     window: int = 1024) -> jnp.ndarray:
+    """Realized (query, neighbor) match count of a window conv, without
+    features — the cheap side of the coverage check (compare against the
+    occupancy autocorrelation via :func:`window_match_counts`)."""
+    c1 = jnp.zeros((grid.shape[0], 1), jnp.float32)
+    k1 = jnp.zeros((np.asarray(offsets).shape[0], 1, 1), jnp.float32)
+    _, ms = window_submconv(c1, grid, mask, offsets, k1,
+                            tile=tile, window=window)
+    return ms
 
 
 def window_submconv(feat: jnp.ndarray, grid: jnp.ndarray,
@@ -166,10 +179,10 @@ def window_submconv(feat: jnp.ndarray, grid: jnp.ndarray,
 
     lins = _off_lin(off_np)
     out = jnp.zeros((n_tiles, t, c_out), feat.dtype)
-    match_sum = jnp.zeros((), jnp.int64)
+    match_sum = jnp.zeros((), jnp.int32)
     for ki in range(k):
         m = (diff == np.int32(lins[ki])) & pair_ok        # (n_tiles, T, W)
-        match_sum = match_sum + jnp.sum(m, dtype=jnp.int64)
+        match_sum = match_sum + jnp.sum(m, dtype=jnp.int32)
         gathered = jnp.einsum(
             "btw,bwc->btc", m.astype(feat.dtype), wf)     # (n_tiles, T, C)
         out = out + jnp.einsum("btc,cd->btd", gathered, kernel[ki])
