@@ -103,7 +103,11 @@ class KPConvBlock(nn.Module):
             lambda c, m: ball_query(c, c, radius, self.max_neighbor, ref_mask=m)
         )(coord, mask)
         nmask = nmask & mask[..., None]
-        rel = jax.vmap(lambda c, i: c[i])(coord, idx) - coord[:, :, None, :]
+        # one combined [coord | feat] gather (scalar-unit gather cost
+        # scales with start count; see StratifiedWindowAttention)
+        src = jnp.concatenate([coord, x.astype(jnp.float32)], axis=-1)
+        g = jax.vmap(lambda s, i: s[i])(src, idx)        # (B, N, S, 3+Cm)
+        rel = g[..., :3] - coord[:, :, None, :]
         # linear correlation to each kernel point (KPConv paper eq. 2);
         # |rel - kp|^2 via the matmul identity: the explicit difference
         # tensor is (B, N, S, P, 3) whose minor (P, 3) pair tiles to
@@ -115,7 +119,7 @@ class KPConvBlock(nn.Module):
         dist = jnp.sqrt(jnp.maximum(d2, 0.0))
         infl = jnp.maximum(1.0 - dist / (self.sigma * radius), 0.0)
         infl = jnp.where(nmask[..., None], infl, 0.0)      # (B, N, S, P)
-        gathered = jax.vmap(lambda f, i: f[i])(x, idx)     # (B, N, S, Cm)
+        gathered = g[..., 3:].astype(x.dtype)              # (B, N, S, Cm)
         per_kp = jnp.einsum("bnsp,bnsc->bnpc", infl, gathered)
         w = self.param("kp_weight", _trunc02, (p, x.shape[-1], mid))
         y = jnp.einsum("bnpc,pcd->bnd", per_kp, w)
@@ -197,12 +201,19 @@ class StratifiedWindowAttention(nn.Module):
             s = x.shape
             return x.reshape(*s[:-1], h, hd).sum(-1)
 
+        # one combined gather source: [k | v | coord] — a single K-row
+        # gather per query instead of three (the scalar-unit gather cost
+        # scales with start count as much as bytes)
+        src = jnp.concatenate(
+            [k.astype(jnp.float32), v.astype(jnp.float32), coord], axis=-1)
+
         def chunk_fn(args):
             q_c, coord_c, ki_c, km_c, m_c = args
             m = q_c.shape[1]
-            k_g = jax.vmap(lambda f, i: f[i])(k, ki_c)       # (B, M, K, C)
-            v_g = jax.vmap(lambda f, i: f[i])(v, ki_c)
-            pos_g = jax.vmap(lambda cc, i: cc[i])(coord, ki_c)  # (B, M, K, 3)
+            g = jax.vmap(lambda f, i: f[i])(src, ki_c)   # (B, M, K, 2C+3)
+            k_g = g[..., :c]
+            v_g = g[..., c:2 * c].astype(v.dtype)
+            pos_g = g[..., 2 * c:]
 
             qf = q_c.astype(jnp.float32)
             logits = head_sum(qf[:, :, None, :] * scale
@@ -215,14 +226,26 @@ class StratifiedWindowAttention(nn.Module):
             ).astype(jnp.int32)
             bins = jnp.clip(bins, 0, 2 * L - 1)              # (B, M, K, 3)
 
+            # cRPE table lookups as one-hot MXU contractions: XLA's TPU
+            # gather runs on the scalar unit, and the nine (B, M, K, C)
+            # table gathers dominated this attention (~350 of 512 ms per
+            # 4x32768-block-equivalent).  An f32 one-hot matmul is EXACT
+            # (0/1 weights select one row), so numerics are unchanged;
+            # the one-hot is shared by the q/k/v tables of each axis.
+            oh = [jax.nn.one_hot(bins[..., a], 2 * L, dtype=jnp.float32)
+                  for a in range(3)]                         # (B, M, K, 2L)
+
             if self.rel_query:
-                logits = logits + sum(
-                    head_sum(qf[:, :, None, :] * tq[a][bins[..., a]])
-                    for a in range(3)
-                )
+                qf_h = qf.reshape(b, m, h, hd)
+                for a in range(3):
+                    tq_h = tq[a].reshape(2 * L, h, hd)
+                    p_a = jnp.einsum("bmhd,lhd->bmlh", qf_h, tq_h)
+                    logits = logits + jnp.einsum(
+                        "bmkl,bmlh->bmkh", oh[a], p_a)
             if self.rel_key:
                 logits = logits + sum(
-                    head_sum(k_g.astype(jnp.float32) * tk[a][bins[..., a]])
+                    head_sum(k_g.astype(jnp.float32)
+                             * jnp.einsum("bmkl,lc->bmkc", oh[a], tk[a]))
                     for a in range(3)
                 )
 
@@ -231,14 +254,22 @@ class StratifiedWindowAttention(nn.Module):
                 logits, att_mask[..., None], axis=2
             )                                                # (B, M, K, H)
 
-            if self.rel_value:
-                v_g = v_g + sum(
-                    tv[a][bins[..., a]] for a in range(3)
-                ).astype(v_g.dtype)
-
             # out[..., h*hd+d] = sum_k attn[..., h] * v_g[..., h*hd+d]
             attn_c = jnp.repeat(attn.astype(v_g.dtype), hd, axis=-1)
-            return jnp.sum(attn_c * v_g, axis=2)             # (B, M, C)
+            out_c = jnp.sum(attn_c * v_g, axis=2)            # (B, M, C)
+
+            if self.rel_value:
+                # sum_k attn * tv[bins] reordered through the shared
+                # one-hot: A[b,m,l,h] = sum_k attn * oh -> contract with
+                # the table, never materializing (B, M, K, C)
+                for a in range(3):
+                    tv_h = tv[a].reshape(2 * L, h, hd)
+                    a_lh = jnp.einsum(
+                        "bmkh,bmkl->bmlh", attn.astype(jnp.float32), oh[a])
+                    out_c = out_c + jnp.einsum(
+                        "bmlh,lhd->bmhd", a_lh, tv_h
+                    ).reshape(b, m, c).astype(out_c.dtype)
+            return out_c
 
         if n <= self.query_chunk:
             out = chunk_fn((q, coord, key_idx, key_mask, mask))
@@ -401,16 +432,16 @@ class StratifiedTransformer(nn.Module):
         idx_s, d_s = jax.vmap(
             lambda q, r, m: knn(q, r, self.k_sparse, ref_mask=m)
         )(coord, ds_coord, ds_valid)
-        # map downsample-set positions back to original rows
-        orig_s = jnp.take_along_axis(
-            ds_idx, idx_s.reshape(ds_idx.shape[0], -1), axis=1
-        ).reshape(idx_s.shape)
-        win_s = jnp.take_along_axis(
-            win, orig_s.reshape(win.shape[0], -1), axis=1
-        ).reshape(orig_s.shape)
-        big_s = jnp.take_along_axis(
-            big, orig_s.reshape(big.shape[0], -1), axis=1
-        ).reshape(orig_s.shape)
+        # map downsample-set positions back to original rows; one merged
+        # [row | win | big] source per downsample slot halves the
+        # scalar-unit gather count of the window-id lookups
+        wb_ds = jnp.concatenate(
+            [ds_idx[..., None],
+             jnp.take_along_axis(win, ds_idx, axis=1)[..., None],
+             jnp.take_along_axis(big, ds_idx, axis=1)[..., None]], axis=-1)
+        g_s = jax.vmap(lambda t, i: t[i])(
+            wb_ds, idx_s)                       # (B, N, Ks, 3)
+        orig_s, win_s, big_s = g_s[..., 0], g_s[..., 1], g_s[..., 2]
         m_s = (
             jnp.isfinite(d_s)
             & (big_s == big[..., None])
