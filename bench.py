@@ -582,6 +582,7 @@ def bench_pdf_train(rng):
             return out["seg_logits"], neighbors
 
         logits, neighbors = pseudo_forward(params, batch_stats, coord, feat)
+        _sync_scalar(jnp.sum(logits))   # warm the sync-sum's own compile
         logits_h = np.asarray(jax.device_get(logits))
         # compute time (scalar-synced) and the host payload fetch are
         # reported separately: this box's axon tunnel fetches device
