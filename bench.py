@@ -501,7 +501,41 @@ def bench_st(rng):
             return jnp.sum(out["seg_logits"])
 
         dt = _time_scanned(fwd, coords, feats, iters=ITERS)
-    return round(BATCH * N_POINTS / dt, 1)
+
+    # on-chip numerics of the live fused Pallas attention dispatch
+    # (ops/pallas_st_attention.py) vs the XLA einsum path — both carry
+    # bf16 matmul rounding, so the bound is relative, not bitwise
+    from pointcloudpdf_tpu.models.stratified_transformer import st as stm
+
+    assert stm.FUSED_ST_ATTENTION == "auto" and \
+        stm.FUSED_KPCONV == "auto" and \
+        jax.default_backend() == "tpu", "ST bench must exercise the kernels"
+
+    def logits_fn(coord, feat):
+        return model.apply(
+            variables, dict(coord=coord, feat=feat, mask=mask),
+            train=False)["seg_logits"]
+
+    with jax.default_matmul_precision("bfloat16"):
+        # fresh lambdas: jax's trace cache is keyed on function identity,
+        # so re-jitting the same object would NOT re-read the mode global
+        fused_log = np.asarray(
+            jax.jit(lambda c, f: logits_fn(c, f))(coords[0], feats[0]))
+        stm.FUSED_ST_ATTENTION = "off"
+        stm.FUSED_KPCONV = "off"
+        try:
+            xla_log = np.asarray(
+                jax.jit(lambda c, f: logits_fn(c, f))(coords[0], feats[0]))
+        finally:
+            stm.FUSED_ST_ATTENTION = "auto"
+            stm.FUSED_KPCONV = "auto"
+    rel = float(np.abs(fused_log - xla_log).max()
+                / (np.abs(xla_log).max() + 1e-9))
+    assert rel < 0.05, f"fused ST attention diverged from XLA: rel={rel}"
+    return {
+        "st_inference_points_per_sec": round(BATCH * N_POINTS / dt, 1),
+        "st_fused_rel_err": round(rel, 4),
+    }
 
 
 def bench_pdf_train(rng):
@@ -712,8 +746,7 @@ def main():
         extras["ptv3_error"] = repr(exc)[:200]
     t = _stage("ptv3", t)
     try:
-        extras["st_inference_points_per_sec"] = bench_st(
-            np.random.RandomState(4))
+        extras.update(bench_st(np.random.RandomState(4)))
     except Exception as exc:
         extras["st_error"] = repr(exc)[:200]
     t = _stage("st", t)

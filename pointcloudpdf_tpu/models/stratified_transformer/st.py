@@ -44,6 +44,14 @@ from ..utils.structure import masked_softmax
 
 _trunc02 = nn.initializers.truncated_normal(stddev=0.02)
 
+# fused-attention dispatch: "auto" uses the Pallas kernel for inference
+# on TPU, "off" forces the XLA einsum path, "interpret" runs the kernel
+# in CPU interpret mode (tests)
+import os as _os
+
+FUSED_ST_ATTENTION = _os.environ.get("PCPDF_FUSED_ST_ATTENTION", "auto")
+FUSED_KPCONV = _os.environ.get("PCPDF_FUSED_KPCONV", "auto")
+
 
 def _window_ids(coord, mask, window_size: float, shift: bool):
     """(B, N) uint32 window id per point (voxel of the window grid)."""
@@ -99,30 +107,52 @@ class KPConvBlock(nn.Module):
             )
             x = nn.relu(x)
 
-        idx, nmask = jax.vmap(
-            lambda c, m: ball_query(c, c, radius, self.max_neighbor, ref_mask=m)
-        )(coord, mask)
-        nmask = nmask & mask[..., None]
-        # one combined [coord | feat] gather (scalar-unit gather cost
-        # scales with start count; see StratifiedWindowAttention)
-        src = jnp.concatenate([coord, x.astype(jnp.float32)], axis=-1)
-        g = jax.vmap(lambda s, i: s[i])(src, idx)        # (B, N, S, 3+Cm)
-        rel = g[..., :3] - coord[:, :, None, :]
-        # linear correlation to each kernel point (KPConv paper eq. 2);
-        # |rel - kp|^2 via the matmul identity: the explicit difference
-        # tensor is (B, N, S, P, 3) whose minor (P, 3) pair tiles to
-        # (16, 128) — a 42x padding blowup — while the cross term is one
-        # MXU matmul and the intermediate stays (B, N, S, P)
-        d2 = (jnp.sum(rel * rel, axis=-1)[..., None]
-              + jnp.sum(kp * kp, axis=-1)
-              - 2.0 * jnp.einsum("bnsx,px->bnsp", rel, kp))
-        dist = jnp.sqrt(jnp.maximum(d2, 0.0))
-        infl = jnp.maximum(1.0 - dist / (self.sigma * radius), 0.0)
-        infl = jnp.where(nmask[..., None], infl, 0.0)      # (B, N, S, P)
-        gathered = g[..., 3:].astype(x.dtype)              # (B, N, S, Cm)
-        per_kp = jnp.einsum("bnsp,bnsc->bnpc", infl, gathered)
         w = self.param("kp_weight", _trunc02, (p, x.shape[-1], mid))
-        y = jnp.einsum("bnpc,pcd->bnd", per_kp, w)
+
+        kp_mode = FUSED_KPCONV
+        use_fused = kp_mode == "interpret" or (
+            kp_mode == "auto" and not train
+            and jax.default_backend() == "tpu"
+        )
+        if use_fused:
+            # sorted-band Pallas path (ops/pallas_kpconv.py): no ball
+            # query, no per-neighbor gather — the z-order band replaces
+            # the neighbor list.  Uncapped in-radius neighbors inside
+            # the band (the XLA path truncates at max_neighbor nearest;
+            # the reference truncates the same way).
+            from ...ops.pallas_kpconv import band_kpconv
+
+            kpt = tuple(map(tuple, (kpconv_kernel_points()
+                                    * radius).tolist()))
+            y = band_kpconv(
+                coord, x.astype(jnp.float32), mask, w, kpt, radius,
+                self.sigma * radius, interpret=(kp_mode == "interpret"),
+            ).astype(x.dtype)
+        else:
+            idx, nmask = jax.vmap(
+                lambda c, m: ball_query(c, c, radius, self.max_neighbor,
+                                        ref_mask=m)
+            )(coord, mask)
+            nmask = nmask & mask[..., None]
+            # one combined [coord | feat] gather (scalar-unit gather cost
+            # scales with start count; see StratifiedWindowAttention)
+            src = jnp.concatenate([coord, x.astype(jnp.float32)], axis=-1)
+            g = jax.vmap(lambda s, i: s[i])(src, idx)    # (B, N, S, 3+Cm)
+            rel = g[..., :3] - coord[:, :, None, :]
+            # linear correlation to each kernel point (KPConv paper eq. 2);
+            # |rel - kp|^2 via the matmul identity: the explicit difference
+            # tensor is (B, N, S, P, 3) whose minor (P, 3) pair tiles to
+            # (16, 128) — a 42x padding blowup — while the cross term is one
+            # MXU matmul and the intermediate stays (B, N, S, P)
+            d2 = (jnp.sum(rel * rel, axis=-1)[..., None]
+                  + jnp.sum(kp * kp, axis=-1)
+                  - 2.0 * jnp.einsum("bnsx,px->bnsp", rel, kp))
+            dist = jnp.sqrt(jnp.maximum(d2, 0.0))
+            infl = jnp.maximum(1.0 - dist / (self.sigma * radius), 0.0)
+            infl = jnp.where(nmask[..., None], infl, 0.0)  # (B, N, S, P)
+            gathered = g[..., 3:].astype(x.dtype)          # (B, N, S, Cm)
+            per_kp = jnp.einsum("bnsp,bnsc->bnpc", infl, gathered)
+            y = jnp.einsum("bnpc,pcd->bnd", per_kp, w)
 
         if self.residual:
             y = MaskedBatchNorm(mid, momentum=0.02, name="mid_bn")(
@@ -195,6 +225,55 @@ class StratifiedWindowAttention(nn.Module):
         tq = table("rel_query_table") if self.rel_query else None
         tk = table("rel_key_table") if self.rel_key else None
         tv = table("rel_value_table") if self.rel_value else None
+
+        mode = FUSED_ST_ATTENTION
+        use_fused = mode == "interpret" or (
+            mode == "auto" and not train
+            and jax.default_backend() == "tpu"
+        )
+        if use_fused:
+            # fused Pallas path: the one-hot cRPE contractions, masked
+            # softmax and aggregation stay VMEM-resident per query tile
+            # (ops/pallas_st_attention.py) instead of materializing
+            # three (B, M, K, 2L) one-hots in HBM
+            from ...ops.pallas_st_attention import fused_st_attention
+
+            zero_tab = jnp.zeros((3, 2 * L, c), jnp.float32)
+            fused = functools.partial(
+                fused_st_attention,
+                tq_tab=(tq.reshape(3, 2 * L, c) if self.rel_query
+                        else zero_tab),
+                tk_tab=(tk.reshape(3, 2 * L, c) if self.rel_key
+                        else zero_tab),
+                tv_tab=(tv.reshape(3, 2 * L, c) if self.rel_value
+                        else zero_tab),
+                num_heads=h, window_size=self.window_size,
+                quant_size=self.quant_size, l2=2 * L,
+                rel_q=self.rel_query, rel_k=self.rel_key,
+                rel_v=self.rel_value, interpret=(mode == "interpret"),
+            )
+            key_mask_q = key_mask & mask[..., None]
+            if n <= self.query_chunk:
+                out = fused(q, coord, k, v, coord, key_idx, key_mask_q)
+            else:
+                nc = self.query_chunk
+                n_pad = -(-n // nc) * nc
+
+                def split(x, fill=0):
+                    x = jnp.pad(x, ((0, 0), (0, n_pad - n)) +
+                                ((0, 0),) * (x.ndim - 2),
+                                constant_values=fill)
+                    return x.reshape(b, n_pad // nc, nc,
+                                     *x.shape[2:]).swapaxes(0, 1)
+
+                out = jax.lax.map(
+                    lambda args: fused(args[0], args[1], k, v, coord,
+                                       args[2], args[3]),
+                    (split(q), split(coord), split(key_idx),
+                     split(key_mask_q, fill=False)))
+                out = out.swapaxes(0, 1).reshape(b, n_pad, c)[:, :n]
+            out = nn.Dense(self.dim, name="proj")(out.astype(feat.dtype))
+            return jnp.where(mask[..., None], out, 0.0)
 
         def head_sum(x):
             """(B, M, K, C) -> (B, M, K, H): per-head reduce over hd."""
@@ -414,42 +493,61 @@ class StratifiedTransformer(nn.Module):
     k_local: int = 32
     k_sparse: int = 16
 
-    def _key_sets(self, coord, mask, window_size: float, shift: bool,
-                  ds_idx, ds_valid):
-        """Fixed-K stratified keys: same-small-window kNN + downsampled
-        same-big-window kNN (different small window)."""
-        win = _window_ids(coord, mask, window_size, shift)
-        big = _window_ids(coord, mask, 2 * window_size, shift)
+    def _key_sets_layer(self, coord, mask, window_size: float, depth: int,
+                        ds_idx, ds_valid):
+        """Fixed-K stratified keys (same-small-window kNN + downsampled
+        same-big-window kNN) for every shift parity a layer uses.
 
+        Blocks alternate shifted windows, so a layer of ``depth`` blocks
+        needs at most TWO key sets (shift off/on) — but the expensive
+        parts (the two kNNs and the index gathers) do not depend on the
+        shift at all; only the window-id masks do.  The reference rebuilds
+        its variable-length index-pair lists per block on the GPU
+        (stratified_transformer_v1m1_origin.py:46-94 via get_indice_pairs
+        in each forward); here the kNNs run ONCE per layer and each
+        parity adds only elementwise window-id compares.  Returns a list
+        of (key_idx, key_mask) indexed by shift parity.
+        """
         idx_l, d_l = jax.vmap(
             lambda c, m: knn(c, c, self.k_local, ref_mask=m)
         )(coord, mask)
-        win_l = jnp.take_along_axis(win, idx_l.reshape(win.shape[0], -1),
-                                    axis=1).reshape(idx_l.shape)
-        m_l = jnp.isfinite(d_l) & (win_l == win[..., None])
+        fin_l = jnp.isfinite(d_l)
 
         ds_coord = jnp.take_along_axis(coord, ds_idx[..., None], axis=1)
         idx_s, d_s = jax.vmap(
             lambda q, r, m: knn(q, r, self.k_sparse, ref_mask=m)
         )(coord, ds_coord, ds_valid)
-        # map downsample-set positions back to original rows; one merged
-        # [row | win | big] source per downsample slot halves the
-        # scalar-unit gather count of the window-id lookups
-        wb_ds = jnp.concatenate(
+        fin_s = jnp.isfinite(d_s)
+
+        # window ids for every parity in play, gathered in ONE merged
+        # source per neighbor set (scalar-unit gather cost scales with
+        # start count): per point [win(p0)|big(p0)|win(p1)|big(p1)],
+        # and per downsample slot the original row prepended.
+        parities = [False] if depth <= 1 else [False, True]
+        wins = []
+        for sh in parities:
+            wins.append(_window_ids(coord, mask, window_size, sh))
+            wins.append(_window_ids(coord, mask, 2 * window_size, sh))
+        # uint32 ids compare correctly after an int32 bit-wrap (equality
+        # is bit-pattern equality), letting them share the int32 rows
+        W = jnp.stack([w.astype(jnp.int32) for w in wins], axis=-1)
+        g_l = jax.vmap(lambda t, i: t[i])(W, idx_l)  # (B, N, Kl, 2P)
+        ds_pack = jnp.concatenate(
             [ds_idx[..., None],
-             jnp.take_along_axis(win, ds_idx, axis=1)[..., None],
-             jnp.take_along_axis(big, ds_idx, axis=1)[..., None]], axis=-1)
-        g_s = jax.vmap(lambda t, i: t[i])(
-            wb_ds, idx_s)                       # (B, N, Ks, 3)
-        orig_s, win_s, big_s = g_s[..., 0], g_s[..., 1], g_s[..., 2]
-        m_s = (
-            jnp.isfinite(d_s)
-            & (big_s == big[..., None])
-            & (win_s != win[..., None])
-        )
-        key_idx = jnp.concatenate([idx_l, orig_s], axis=-1)
-        key_mask = jnp.concatenate([m_l, m_s], axis=-1)
-        return key_idx, key_mask
+             jnp.take_along_axis(W, ds_idx[..., None], axis=1)], axis=-1)
+        g_s = jax.vmap(lambda t, i: t[i])(ds_pack, idx_s)  # (B, N, Ks, 1+2P)
+        orig_s = g_s[..., 0]
+
+        out = []
+        for p, _ in enumerate(parities):
+            win, big = W[..., 2 * p], W[..., 2 * p + 1]
+            m_l = fin_l & (g_l[..., 2 * p] == win[..., None])
+            m_s = (fin_s
+                   & (g_s[..., 2 + 2 * p] == big[..., None])
+                   & (g_s[..., 1 + 2 * p] != win[..., None]))
+            out.append((jnp.concatenate([idx_l, orig_s], axis=-1),
+                        jnp.concatenate([m_l, m_s], axis=-1)))
+        return out
 
     @nn.compact
     def __call__(self, input_dict: Dict, train: bool = True):
@@ -494,11 +592,12 @@ class StratifiedTransformer(nn.Module):
                 lambda c, mk: blocked_farthest_point_sampling(c, m, mask=mk)
             )(coord, mask)
             base = sum(self.depths[:i])
+            key_sets = self._key_sets_layer(
+                coord, mask, ws, self.depths[i],
+                ds_idx=ds_idx, ds_valid=ds_valid,
+            )
             for d in range(self.depths[i]):
-                key_idx, key_mask = self._key_sets(
-                    coord, mask, ws, shift=(d % 2 == 1),
-                    ds_idx=ds_idx, ds_valid=ds_valid,
-                )
+                key_idx, key_mask = key_sets[d % 2]
                 feat = STBlock(
                     self.channels[i], self.num_heads[i], ws,
                     self.quant_sizes[i], self.rel_query, self.rel_key,

@@ -236,3 +236,98 @@ class TestVoxelHashAdversarial:
         agree = float(np.mean(pred_hash == pred_exact))
         assert agree >= 0.995, (
             f"voxel hash changed {1-agree:.3%} of SpUNet predictions")
+
+
+class TestSTKernelStack:
+    """Model-level bound for the two ST Pallas fast paths (round 3):
+    fused window attention (exact semantics, bf16-rounded matmuls) and
+    the two-pass sorted-band KPConv stem (union band, ~0.06% residual
+    in-radius pair misses).  The contract mirrors the kNN bounds above:
+    a TRAINED model's argmax predictions move by <= 2%."""
+
+    @pytest.fixture(scope="class")
+    def trained_st(self):
+        import optax
+
+        from pointcloudpdf_tpu.models.stratified_transformer import st as stm
+
+        model = build_model(dict(
+            type="DefaultSegmentor",
+            backbone=dict(
+                type="ST-v1m1", downsample_scale=4, depths=[1, 2],
+                channels=[16, 32], num_heads=[2, 4],
+                window_size=[0.4, 0.8], up_k=3, grid_sizes=[0.1, 0.2],
+                quant_sizes=[0.02, 0.04], rel_query=True, rel_key=True,
+                rel_value=True, drop_path_rate=0.0, num_layers=2,
+                num_classes=4, ratio=0.25, k=8, prev_grid_size=0.1,
+                sigma=1.0, stem_transformer=False, kp_ball_radius=0.25,
+                kp_max_neighbor=24,
+            ),
+            criteria=[dict(type="CrossEntropyLoss", loss_weight=1.0,
+                           ignore_index=-1)],
+        ))
+        rng = np.random.RandomState(0)
+        n = 768
+        coord, feat, seg = quadrant_scene(rng, n)
+        batch = dict(coord=jnp.asarray(coord[None]),
+                     feat=jnp.asarray(feat[None]),
+                     mask=jnp.ones((1, n), bool))
+        seg_j = jnp.asarray(seg[None])
+
+        old = stm.FUSED_ST_ATTENTION, stm.FUSED_KPCONV
+        stm.FUSED_ST_ATTENTION = stm.FUSED_KPCONV = "off"
+        try:
+            variables = jax.jit(functools.partial(model.init, train=True))(
+                {"params": jax.random.PRNGKey(0),
+                 "dropout": jax.random.PRNGKey(1)}, batch)
+            tx = optax.adamw(2e-2)
+            params = variables["params"]
+            stats = variables.get("batch_stats", {})
+            opt_state = tx.init(params)
+
+            @jax.jit
+            def step(params, stats, opt_state):
+                def loss_fn(p):
+                    out, mut = model.apply(
+                        {"params": p, "batch_stats": stats}, batch,
+                        train=True, mutable=["batch_stats"],
+                        rngs={"dropout": jax.random.PRNGKey(2)})
+                    return (model.loss(out["seg_logits"], seg_j),
+                            mut["batch_stats"])
+
+                (loss, stats2), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                return (optax.apply_updates(params, updates), stats2,
+                        opt_state, loss)
+
+            for _ in range(40):
+                params, stats, opt_state, loss = step(
+                    params, stats, opt_state)
+            assert float(loss) < 0.7, f"toy ST failed to converge: {loss}"
+        finally:
+            stm.FUSED_ST_ATTENTION, stm.FUSED_KPCONV = old
+        return model, {"params": params, "batch_stats": stats}, batch, seg
+
+    def _predict(self, model, variables, batch, mode):
+        from pointcloudpdf_tpu.models.stratified_transformer import st as stm
+
+        old = stm.FUSED_ST_ATTENTION, stm.FUSED_KPCONV
+        stm.FUSED_ST_ATTENTION = stm.FUSED_KPCONV = mode
+        try:
+            def fwd(variables, batch):
+                out = model.apply(variables, batch, train=False)
+                return jnp.argmax(out["seg_logits"], axis=-1)
+
+            return np.asarray(jax.jit(fwd)(variables, batch))[0]
+        finally:
+            stm.FUSED_ST_ATTENTION, stm.FUSED_KPCONV = old
+
+    def test_fused_kernels_end_to_end(self, trained_st):
+        model, variables, batch, seg = trained_st
+        pred_xla = self._predict(model, variables, batch, "off")
+        pred_fused = self._predict(model, variables, batch, "interpret")
+        agree = float(np.mean(pred_xla == pred_fused))
+        d_miou = abs(miou(pred_xla, seg) - miou(pred_fused, seg))
+        assert agree >= 0.98, f"ST kernels changed {1-agree:.2%} of preds"
+        assert d_miou <= 0.02, f"ST kernels moved mIoU by {d_miou:.4f}"

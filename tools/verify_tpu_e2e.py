@@ -33,7 +33,34 @@ import numpy as np
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORK = "/tmp/tpu_e2e"
-CFG = os.path.join(WORK, "semseg-tpu-e2e.py")
+
+MODELS = {
+    # flagship: pruned Pallas kNN + fused vector attention live on TPU
+    "ptv1": """dict(
+    type="DefaultSegmentor",
+    backbone=dict(type="PointTransformer-Seg26", in_channels=6,
+                  num_classes=4),
+    criteria=[dict(type="CrossEntropyLoss", loss_weight=1.0,
+                   ignore_index=-1)],
+)""",
+    # the PDF paper backbone: fused Pallas window attention + two-pass
+    # band KPConv stem live on TPU (reduced width for a fast proof)
+    "st": """dict(
+    type="DefaultSegmentor",
+    backbone=dict(
+        type="ST-v1m1", downsample_scale=4, depths=[1, 1, 1],
+        channels=[32, 64, 128], num_heads=[2, 4, 8],
+        window_size=[0.1, 0.2, 0.4], up_k=3,
+        grid_sizes=[0.02, 0.04, 0.08], quant_sizes=[0.005, 0.01, 0.02],
+        rel_query=True, rel_key=True, rel_value=True, drop_path_rate=0.0,
+        num_layers=3, num_classes=4, ratio=0.25, k=8,
+        prev_grid_size=0.02, sigma=1.0, stem_transformer=False,
+        kp_ball_radius=0.05, kp_max_neighbor=24,
+    ),
+    criteria=[dict(type="CrossEntropyLoss", loss_weight=1.0,
+                   ignore_index=-1)],
+)""",
+}
 
 CFG_BODY = '''
 weight = None
@@ -56,11 +83,7 @@ eval_epoch = 2
 optimizer = dict(type="AdamW", lr=0.02, weight_decay=0.01)
 scheduler = dict(type="MultiStepLR", milestones=[0.8], gamma=0.1)
 
-model = dict(
-    type="DefaultSegmentor",
-    backbone=dict(type="PointTransformer-Seg26", in_channels=6, num_classes=4),
-    criteria=[dict(type="CrossEntropyLoss", loss_weight=1.0, ignore_index=-1)],
-)
+model = {model_cfg}
 
 data = dict(
     num_classes=4,
@@ -156,33 +179,40 @@ def miou_of(log: str) -> float:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--model", choices=sorted(MODELS), default="ptv1")
     ap.add_argument("--min-agreement", type=float, default=0.999)
     ap.add_argument("--keep", action="store_true",
                     help="keep the work dir instead of regenerating")
     args = ap.parse_args()
 
+    work = f"/tmp/tpu_e2e_{args.model}" if args.model != "ptv1" \
+        else "/tmp/tpu_e2e"
+    global WORK
+    WORK = work
+    cfg_path = os.path.join(WORK, "semseg-tpu-e2e.py")
     if not args.keep and os.path.isdir(WORK):
         shutil.rmtree(WORK)
     ds = os.path.join(WORK, "ds")
     exp = os.path.join(WORK, "exp")
     if not os.path.isdir(ds):
         make_dataset(ds)
-    with open(CFG, "w") as f:
-        f.write(CFG_BODY.replace("{ds}", ds).replace("{exp}", exp))
+    with open(cfg_path, "w") as f:
+        f.write(CFG_BODY.replace("{ds}", ds).replace("{exp}", exp)
+                .replace("{model_cfg}", MODELS[args.model]))
 
     py = sys.executable
     print("[1/3] train 2 epochs on the default platform (TPU) ...")
-    run([py, "tools/train.py", "--config-file", CFG],
+    run([py, "tools/train.py", "--config-file", cfg_path],
         os.path.join(WORK, "train.log"))
     weight = os.path.join(exp, "model", "model_best.pth")
 
     print("[2/3] fragment tester on TPU (Pallas kNN + fused attention live) ...")
-    run([py, "tools/test.py", "--config-file", CFG, "--options",
+    run([py, "tools/test.py", "--config-file", cfg_path, "--options",
          f"weight={weight}", f"save_path={os.path.join(WORK, 'test_tpu')}"],
         os.path.join(WORK, "test_tpu.log"))
 
     print("[3/3] fragment tester on CPU (exact XLA paths) ...")
-    run([py, "tools/test.py", "--config-file", CFG, "--options",
+    run([py, "tools/test.py", "--config-file", cfg_path, "--options",
          f"weight={weight}", f"save_path={os.path.join(WORK, 'test_cpu')}"],
         os.path.join(WORK, "test_cpu.log"), env_extra={"JAX_PLATFORMS": "cpu"})
 
