@@ -465,22 +465,23 @@ def bench_ptv2(rng):
 
     from pointcloudpdf_tpu.models import build_model
 
+    bk = dict(
+        type="PT-v2m2", in_channels=9, num_classes=NUM_CLASSES,
+        patch_embed_depth=1, patch_embed_channels=48,
+        patch_embed_groups=6, patch_embed_neighbours=8,
+        enc_depths=(2, 2, 6, 2), enc_channels=(96, 192, 384, 512),
+        enc_groups=(12, 24, 48, 64), enc_neighbours=(16, 16, 16, 16),
+        dec_depths=(1, 1, 1, 1), dec_channels=(48, 96, 192, 384),
+        dec_groups=(6, 12, 24, 48), dec_neighbours=(16, 16, 16, 16),
+        grid_sizes=(0.06, 0.15, 0.375, 0.9375), attn_qkv_bias=True,
+        pe_multiplier=False, pe_bias=True, attn_drop_rate=0.0,
+        # the 3x/2.5x grid-size ratios merge >=6 surface children per
+        # parent; carry shrunk per-level capacities (drop-asserted below)
+        level_capacity_factor=0.25,
+    )
+    crit = [dict(type="CrossEntropyLoss", loss_weight=1.0, ignore_index=-1)]
     model = build_model(dict(
-        type="DefaultSegmentor",
-        backbone=dict(
-            type="PT-v2m2", in_channels=9, num_classes=NUM_CLASSES,
-            patch_embed_depth=1, patch_embed_channels=48,
-            patch_embed_groups=6, patch_embed_neighbours=8,
-            enc_depths=(2, 2, 6, 2), enc_channels=(96, 192, 384, 512),
-            enc_groups=(12, 24, 48, 64), enc_neighbours=(16, 16, 16, 16),
-            dec_depths=(1, 1, 1, 1), dec_channels=(48, 96, 192, 384),
-            dec_groups=(6, 12, 24, 48), dec_neighbours=(16, 16, 16, 16),
-            grid_sizes=(0.06, 0.15, 0.375, 0.9375), attn_qkv_bias=True,
-            pe_multiplier=False, pe_bias=True, attn_drop_rate=0.0,
-        ),
-        criteria=[dict(type="CrossEntropyLoss", loss_weight=1.0,
-                       ignore_index=-1)],
-    ))
+        type="DefaultSegmentor", backbone=bk, criteria=crit))
     grids = jnp.asarray(_surface_grids(rng, ITERS, BATCH, N_POINTS))
     coords = grids.astype(jnp.float32) * 0.02
     feats = jnp.asarray(rng.rand(ITERS, BATCH, N_POINTS, 9).astype(np.float32))
@@ -488,6 +489,7 @@ def bench_ptv2(rng):
     batch = dict(coord=coords[0], feat=feats[0], mask=mask)
     variables = jax.jit(functools.partial(model.init, train=False))(
         {"params": jax.random.PRNGKey(0)}, batch)
+    _assert_no_capacity_drops(model, variables, batch)
 
     with jax.default_matmul_precision("bfloat16"):
         def fwd(coord, feat):
@@ -497,7 +499,36 @@ def bench_ptv2(rng):
             return jnp.sum(out["seg_logits"])
 
         dt = _time_scanned(fwd, coords, feats, iters=ITERS)
-    return round(BATCH * N_POINTS / dt, 1)
+
+    # on-chip numerics of the live fused GVA kernel vs the XLA einsum
+    # path — both traces share the identical kNN/GridPool results, so
+    # the comparison isolates the kernel (bf16-rounded matmuls on both
+    # sides -> a relative bound)
+    from pointcloudpdf_tpu.models.point_transformer_v2 import ptv2 as pv2
+
+    assert pv2.FUSED_GVA == "auto" and jax.default_backend() == "tpu"
+
+    def logits_fn(coord, feat):
+        return model.apply(
+            variables, dict(coord=coord, feat=feat, mask=mask),
+            train=False)["seg_logits"]
+
+    with jax.default_matmul_precision("bfloat16"):
+        fused_log = np.asarray(
+            jax.jit(lambda c, f: logits_fn(c, f))(coords[0], feats[0]))
+        pv2.FUSED_GVA = "off"
+        try:
+            xla_log = np.asarray(
+                jax.jit(lambda c, f: logits_fn(c, f))(coords[0], feats[0]))
+        finally:
+            pv2.FUSED_GVA = "auto"
+    diff = np.abs(fused_log - xla_log) / (np.abs(xla_log).max() + 1e-9)
+    rel999 = float(np.quantile(diff, 0.999))
+    assert rel999 < 0.05, f"fused GVA diverged from XLA: q999={rel999}"
+    return {
+        "ptv2_inference_points_per_sec": round(BATCH * N_POINTS / dt, 1),
+        "ptv2_fused_rel_err_q999": round(rel999, 4),
+    }
 
 
 def bench_st(rng):
@@ -807,8 +838,7 @@ def main():
         extras["ptv3_error"] = repr(exc)[:200]
     t = _stage("ptv3", t)
     try:
-        extras["ptv2_inference_points_per_sec"] = bench_ptv2(
-            np.random.RandomState(6))
+        extras.update(bench_ptv2(np.random.RandomState(6)))
     except Exception as exc:
         extras["ptv2_error"] = repr(exc)[:200]
     t = _stage("ptv2", t)

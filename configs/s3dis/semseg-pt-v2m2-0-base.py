@@ -11,6 +11,9 @@ model = dict(
     backbone=dict(
         _delete_=True,
         type="PT-v2m2",
+        # indoor scans merge >=4 children/parent at these grid
+        # ratios: shrink per-level capacities (overflow sow-guarded)
+        level_capacity_factor=0.5,
         in_channels=6,
         num_classes=13,
         patch_embed_depth=2,

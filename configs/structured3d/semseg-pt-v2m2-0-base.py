@@ -7,6 +7,9 @@ model = dict(
     type="DefaultSegmentor",
     backbone=dict(
         type="PT-v2m2",
+        # indoor scans merge >=4 children/parent at these grid
+        # ratios: shrink per-level capacities (overflow sow-guarded)
+        level_capacity_factor=0.5,
         in_channels=9,
         num_classes=25,
         patch_embed_depth=1,

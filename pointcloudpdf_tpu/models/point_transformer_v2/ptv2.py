@@ -27,6 +27,13 @@ from ..utils.structure import masked_softmax
 
 _trunc02 = nn.initializers.truncated_normal(stddev=0.02)
 
+# fused-GVA dispatch: "auto" uses the Pallas kernel for plain-BN
+# inference on TPU, "off" forces the XLA einsum path, "interpret" runs
+# the kernel in CPU interpret mode (tests)
+import os as _os
+
+FUSED_GVA = _os.environ.get("PCPDF_FUSED_GVA", "auto")
+
 
 class GroupedVectorAttention(nn.Module):
     """Reference GVA (:48-130) over padded batches with neighbor masks."""
@@ -56,6 +63,54 @@ class GroupedVectorAttention(nn.Module):
         k = mlp2(nn.Dense(c, use_bias=self.qkv_bias, name="linear_k")(feat),
                  mask, c, "k")
         v = nn.Dense(c, use_bias=self.qkv_bias, name="linear_v")(feat)
+
+        mode = FUSED_GVA
+        use_fused = mode == "interpret" or (
+            mode == "auto" and not train and context is None
+            and self.norm is None and jax.default_backend() == "tpu"
+        )
+        if use_fused:
+            # fused Pallas path (ops/pallas_gva.py): the pe/weight MLP
+            # chains, softmax and grouped aggregation stay VMEM-resident
+            # instead of materializing (B, N, S, C) intermediates; the
+            # inference BNs fold to probed affines (same trick as the
+            # PT-v1 kernel, modules.py)
+            from ...ops.pallas_gva import fused_grouped_vector_attention
+            from ..point_transformer.modules import _bn_affine, _dense_wb
+
+            zero3c = (jnp.zeros((3, c), jnp.float32),
+                      jnp.zeros((c,), jnp.float32))
+            zerocc = (jnp.zeros((c, c), jnp.float32),
+                      jnp.zeros((c,), jnp.float32))
+            zc = jnp.zeros((c,), jnp.float32)
+            if self.pe_multiplier:
+                pm1 = _dense_wb(nn.Dense(c, name="pem_fc1"), 3)
+                pem_s, pem_t = _bn_affine(bn(c, name="pem_bn"), c)
+                pm2 = _dense_wb(nn.Dense(c, name="pem_fc2"), c)
+            else:
+                pm1, pm2, pem_s, pem_t = zero3c, zerocc, zc, zc
+            if self.pe_bias:
+                pb1 = _dense_wb(nn.Dense(c, name="peb_fc1"), 3)
+                peb_s, peb_t = _bn_affine(bn(c, name="peb_bn"), c)
+                pb2 = _dense_wb(nn.Dense(c, name="peb_fc2"), c)
+            else:
+                pb1, pb2, peb_s, peb_t = zero3c, zerocc, zc, zc
+            we1 = _dense_wb(nn.Dense(g, name="we_fc1"), c)
+            we_s, we_t = _bn_affine(bn(g, name="we_bn"), g)
+            we2 = _dense_wb(nn.Dense(g, name="we_fc2"), g)
+
+            nmask = ref_mask & mask[..., None]
+            out = fused_grouped_vector_attention(
+                q.astype(jnp.float32), k.astype(jnp.float32),
+                v.astype(jnp.float32), coord, ref_idx, nmask,
+                pb1[0], pb1[1], pb2[0], pb2[1],
+                pm1[0], pm1[1], pm2[0], pm2[1],
+                we1[0], we1[1], we2[0], we2[1],
+                peb_s, peb_t, pem_s, pem_t, we_s, we_t,
+                groups=g, pe_mul=self.pe_multiplier, pe_bias=self.pe_bias,
+                interpret=(mode == "interpret"),
+            ).astype(feat.dtype)
+            return jnp.where(mask[..., None], out, 0.0)
 
         k_g = jax.vmap(
             lambda f, i, co: grouping(f, i, co, co, with_coord=True)
@@ -161,16 +216,25 @@ class BlockSequence(nn.Module):
 
 class GridPool(nn.Module):
     """Voxel-partition pooling (reference :229-269): fc+bn+relu then
-    per-voxel max, coords mean; returns the child->parent cluster map."""
+    per-voxel max, coords mean; returns the child->parent cluster map.
+
+    ``capacity`` statically shrinks the parent buffer (the voxel grids
+    merge many children per parent, so carrying the full child capacity
+    through every deeper stage wastes ~all the padded compute — the r2
+    PT-v3 10x slowdown in this model family).  Overflow drops are
+    surfaced via sow("diagnostics", "capacity_dropped_points"); bench.py
+    asserts zero."""
 
     in_channels: int
     out_channels: int
     grid_size: float
     norm: Optional[object] = None
+    capacity: Optional[int] = None
 
     @nn.compact
     def __call__(self, feat, coord, mask, train: bool, context=None):
         b, n = mask.shape
+        cap = n if self.capacity is None else min(self.capacity, n)
         bn = self.norm or MaskedBatchNorm
         y = nn.Dense(self.out_channels, use_bias=False, name="fc")(feat)
         y = bn(self.out_channels, name="norm")(y, mask, train, context)
@@ -182,27 +246,29 @@ class GridPool(nn.Module):
         grid = jnp.floor((coord - start) / self.grid_size).astype(jnp.int32)
         grid = jnp.maximum(grid, 0)
         _, p_mask, c2p = jax.vmap(
-            lambda g, m: unique_parents(g, m, 1)
+            lambda g, m: unique_parents(g, m, 1, cap)
         )(grid, mask)
 
         valid = (c2p >= 0)
+        self.sow("diagnostics", "capacity_dropped_points",
+                 jnp.sum(mask & ~valid))
         idx = jnp.maximum(c2p, 0)
         neg = jnp.float32(-jnp.inf)
         pooled = jax.vmap(
             lambda yy, ii, vv: jnp.full(
-                (n, self.out_channels), neg, jnp.float32
+                (cap, self.out_channels), neg, jnp.float32
             ).at[ii].max(jnp.where(vv[:, None], yy.astype(jnp.float32), neg))
         )(y, idx, valid)
         pooled = jnp.where(jnp.isfinite(pooled), pooled, 0.0).astype(y.dtype)
 
         w = valid.astype(jnp.float32)
         coord_sum = jax.vmap(
-            lambda cc, ii, ww: jnp.zeros((n, 3), jnp.float32).at[ii].add(
+            lambda cc, ii, ww: jnp.zeros((cap, 3), jnp.float32).at[ii].add(
                 cc * ww[:, None]
             )
         )(coord, idx, w)
         counts = jax.vmap(
-            lambda ii, ww: jnp.zeros((n,), jnp.float32).at[ii].add(ww)
+            lambda ii, ww: jnp.zeros((cap,), jnp.float32).at[ii].add(ww)
         )(idx, w)
         p_coord = coord_sum / jnp.maximum(counts[..., None], 1.0)
         return pooled, p_coord, p_mask, c2p
@@ -258,6 +324,13 @@ class PointTransformerV2(nn.Module):
     drop_path_rate: float = 0.0
     enable_checkpoint: bool = False
     unpool_backend: str = "map"
+    # per-level static capacity shrink (PT-v3/SpUNet-style): factor < 1
+    # sizes each pooled stage at factor x the previous stage's capacity.
+    # The voxel grid-size ratios merge ~6-9 children/parent on surface
+    # scans, so 0.25-0.5 is safe there; default 1.0 = old behavior, and
+    # any overflow drop is sow'd (bench asserts zero)
+    level_capacity_factor: float = 1.0
+    min_level_capacity: int = 128
     # PDNorm knobs (PT-v2m3, reference point_transformer_v2m3_pdnorm.py):
     # non-empty ``conditions`` swaps every BN for per-dataset PDNorm
     conditions: Sequence[str] = ()
@@ -312,9 +385,14 @@ class PointTransformerV2(nn.Module):
         pools = []
         in_ch = self.patch_embed_channels
         for s in range(num_stages):
+            cur_n = skips[-1][2].shape[1]
+            cap = None
+            if self.level_capacity_factor < 1.0:
+                cap = max(int(cur_n * self.level_capacity_factor),
+                          self.min_level_capacity)
             y, p_coord, p_mask, c2p = GridPool(
                 in_ch, self.enc_channels[s], self.grid_sizes[s],
-                norm=norm, name=f"enc{s}_pool",
+                norm=norm, capacity=cap, name=f"enc{s}_pool",
             )(skips[-1][0], skips[-1][1], skips[-1][2], train, ctx)
             dp = dp_rates[sum(self.enc_depths[:s])]
             y = BlockSequence(

@@ -80,3 +80,43 @@ def test_train_grads(tiny):
     leaves = jax.tree_util.tree_leaves(grads)
     assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
     assert sum(float(jnp.sum(jnp.abs(g))) for g in leaves) > 0
+
+
+def test_capacity_shrink_matches_full():
+    """level_capacity_factor < 1 must be a pure buffer-size change: on a
+    cloud whose voxel pooling merges enough children, the shrunk model's
+    logits equal the full-capacity model's exactly, and the overflow
+    diagnostic is zero (the 8.5x PT-v2 bench win rides this)."""
+    import functools
+
+    cfg = dict(
+        type="PT-v2m2", in_channels=6, num_classes=5,
+        patch_embed_depth=1, patch_embed_channels=8,
+        patch_embed_groups=2, patch_embed_neighbours=4,
+        enc_depths=(1, 1), enc_channels=(8, 16), enc_groups=(2, 4),
+        enc_neighbours=(4, 4), dec_depths=(1, 1), dec_channels=(8, 8),
+        dec_groups=(2, 2), dec_neighbours=(4, 4),
+        grid_sizes=(0.12, 0.24), drop_path_rate=0.0,
+    )
+    rng = np.random.RandomState(0)
+    # dense-in-few-voxels cloud: 128 points over an 0.3-cube -> each
+    # 0.12-voxel holds many children, so cap = N//2 drops nothing
+    batch = dict(
+        coord=jnp.asarray(rng.rand(2, 128, 3).astype(np.float32) * 0.3),
+        feat=jnp.asarray(rng.rand(2, 128, 6).astype(np.float32)),
+        mask=jnp.ones((2, 128), bool),
+    )
+    full = build_model(cfg)
+    shrunk = build_model(dict(cfg, level_capacity_factor=0.5,
+                              min_level_capacity=8))
+    v = jit_init(full, {"params": jax.random.PRNGKey(0)}, batch,
+                 train=False)
+    ref = jit_apply(full, v, batch, train=False)
+    got, diag = jax.jit(functools.partial(
+        shrunk.apply, train=False, mutable=["diagnostics"]))(v, batch)
+    dropped = sum(
+        int(np.asarray(x).sum())
+        for x in jax.tree_util.tree_leaves(diag.get("diagnostics", {})))
+    assert dropped == 0
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=1e-5)
