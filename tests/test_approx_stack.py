@@ -331,3 +331,88 @@ class TestSTKernelStack:
         d_miou = abs(miou(pred_xla, seg) - miou(pred_fused, seg))
         assert agree >= 0.98, f"ST kernels changed {1-agree:.2%} of preds"
         assert d_miou <= 0.02, f"ST kernels moved mIoU by {d_miou:.4f}"
+
+
+class TestGVAKernel:
+    """Model-level bound for the PT-v2 fused GVA kernel: a TRAINED
+    model's argmax predictions move <= 2% between the XLA and Pallas
+    paths (same contract as the ST kernel stack above)."""
+
+    def test_fused_gva_end_to_end(self):
+        import optax
+
+        from pointcloudpdf_tpu.models.point_transformer_v2 import ptv2 as pv2
+
+        model = build_model(dict(
+            type="DefaultSegmentor",
+            backbone=dict(
+                type="PT-v2m2", in_channels=6, num_classes=4,
+                patch_embed_depth=1, patch_embed_channels=16,
+                patch_embed_groups=4, patch_embed_neighbours=8,
+                enc_depths=(1, 1), enc_channels=(16, 32),
+                enc_groups=(4, 8), enc_neighbours=(8, 8),
+                dec_depths=(1, 1), dec_channels=(16, 16),
+                dec_groups=(4, 4), dec_neighbours=(8, 8),
+                grid_sizes=(0.24, 0.48), drop_path_rate=0.0,
+            ),
+            criteria=[dict(type="CrossEntropyLoss", loss_weight=1.0,
+                           ignore_index=-1)],
+        ))
+        rng = np.random.RandomState(0)
+        n = 768
+        coord, feat, seg = quadrant_scene(rng, n)
+        batch = dict(coord=jnp.asarray(coord[None]),
+                     feat=jnp.asarray(feat[None]),
+                     mask=jnp.ones((1, n), bool))
+        seg_j = jnp.asarray(seg[None])
+
+        old = pv2.FUSED_GVA
+        pv2.FUSED_GVA = "off"
+        try:
+            variables = jax.jit(functools.partial(model.init, train=True))(
+                {"params": jax.random.PRNGKey(0),
+                 "dropout": jax.random.PRNGKey(1)}, batch)
+            tx = optax.adamw(2e-2)
+            params = variables["params"]
+            stats = variables.get("batch_stats", {})
+            opt_state = tx.init(params)
+
+            @jax.jit
+            def step(params, stats, opt_state):
+                def loss_fn(p):
+                    out, mut = model.apply(
+                        {"params": p, "batch_stats": stats}, batch,
+                        train=True, mutable=["batch_stats"],
+                        rngs={"dropout": jax.random.PRNGKey(2)})
+                    return (model.loss(out["seg_logits"], seg_j),
+                            mut["batch_stats"])
+
+                (loss, stats2), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                return (optax.apply_updates(params, updates), stats2,
+                        opt_state, loss)
+
+            for _ in range(40):
+                params, stats, opt_state, loss = step(
+                    params, stats, opt_state)
+            assert float(loss) < 0.7, f"toy PT-v2 failed to converge: {loss}"
+            v = {"params": params, "batch_stats": stats}
+
+            def predict(mode):
+                pv2.FUSED_GVA = mode
+
+                def fwd(v, batch):
+                    out = model.apply(v, batch, train=False)
+                    return jnp.argmax(out["seg_logits"], axis=-1)
+
+                return np.asarray(jax.jit(fwd)(v, batch))[0]
+
+            pred_xla = predict("off")
+            pred_fused = predict("interpret")
+        finally:
+            pv2.FUSED_GVA = old
+        agree = float(np.mean(pred_xla == pred_fused))
+        d_miou = abs(miou(pred_xla, seg) - miou(pred_fused, seg))
+        assert agree >= 0.98, f"GVA kernel changed {1-agree:.2%} of preds"
+        assert d_miou <= 0.02, f"GVA kernel moved mIoU by {d_miou:.4f}"
