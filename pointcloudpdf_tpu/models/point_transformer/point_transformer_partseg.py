@@ -71,14 +71,16 @@ class PointTransformerPartSeg(nn.Module):
         inter: Dict = {}
         planes = list(PLANES)
         enc_pts = []
+        enc_nbrs = []
         in_planes = self.in_channels
         for level in range(5):
-            pts = EncoderStage(
+            pts, nbr = EncoderStage(
                 in_planes, planes[level], self.blocks[level],
                 STRIDES[level], NSAMPLES[level], name=f"enc{level + 1}",
             )(pts, train)
             in_planes = planes[level]
             enc_pts.append(pts)
+            enc_nbrs.append(nbr)
             inter[f"enc{level + 1}"] = pts
 
         # dec5 head: optionally conditioned on the shape class token
@@ -90,18 +92,18 @@ class PointTransformerPartSeg(nn.Module):
             dec = Bottleneck(
                 planes[4], planes[4], SHARE_PLANES, NSAMPLES[4],
                 name="dec5_block0",
-            )(dec, train)
+            )(dec, train, enc_nbrs[4])
         else:
             dec = DecoderStage(
                 planes[4], planes[4], 1, NSAMPLES[4], is_head=True,
                 name="dec5",
-            )(enc_pts[4], None, train)
+            )(enc_pts[4], None, train, enc_nbrs[4])
         inter["dec5"] = dec
         for level in range(3, -1, -1):
             dec = DecoderStage(
                 planes[level + 1], planes[level], 1, NSAMPLES[level],
                 name=f"dec{level + 1}",
-            )(enc_pts[level], dec, train)
+            )(enc_pts[level], dec, train, enc_nbrs[level])
             inter[f"dec{level + 1}"] = dec
 
         y = nn.Dense(planes[0], name="cls1")(dec.feat)

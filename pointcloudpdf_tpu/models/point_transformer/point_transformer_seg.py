@@ -35,7 +35,7 @@ class EncoderStage(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, pts: Points, train: bool = True) -> Points:
+    def __call__(self, pts: Points, train: bool = True):
         import jax
 
         from ...ops.geometry import knn
@@ -54,7 +54,10 @@ class EncoderStage(nn.Module):
                 self.planes, self.planes, SHARE_PLANES, self.nsample,
                 dtype=self.dtype, name=f"block{i}",
             )(pts, train, nbr)
-        return pts
+        # the table is also the decoder-stage table at this level (same
+        # coords, same mask, same k) — return it so the decoder need not
+        # recompute it (the dec1 self-kNN alone is ~20 ms at 4x32768)
+        return pts, nbr
 
 
 class DecoderStage(nn.Module):
@@ -66,7 +69,8 @@ class DecoderStage(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, pts: Points, coarse=None, train: bool = True) -> Points:
+    def __call__(self, pts: Points, coarse=None, train: bool = True,
+                 nbr=None) -> Points:
         import jax
 
         from ...ops.geometry import knn
@@ -76,10 +80,11 @@ class DecoderStage(nn.Module):
             dtype=self.dtype, name="up"
         )(pts, coarse, train)
         pts = Points(pts.coord, feat, pts.mask)
-        idx, dist2 = jax.vmap(
-            lambda q, r, m: knn(q, r, self.nsample, ref_mask=m)
-        )(pts.coord, pts.coord, pts.mask)
-        nbr = (idx, jnp.isfinite(dist2) & pts.mask[..., None])
+        if nbr is None:
+            idx, dist2 = jax.vmap(
+                lambda q, r, m: knn(q, r, self.nsample, ref_mask=m)
+            )(pts.coord, pts.coord, pts.mask)
+            nbr = (idx, jnp.isfinite(dist2) & pts.mask[..., None])
         for i in range(self.blocks):
             pts = Bottleneck(
                 self.planes, self.planes, SHARE_PLANES, self.nsample,
@@ -115,28 +120,31 @@ class PointTransformerSeg(nn.Module):
 
         planes = list(PLANES)
         enc_pts = []
+        enc_nbrs = []
         in_planes = self.in_channels
         for level in range(5):
-            pts = EncoderStage(
+            pts, nbr = EncoderStage(
                 in_planes, planes[level], self.blocks[level],
                 STRIDES[level], NSAMPLES[level], dtype=dtype,
                 name=f"enc{level + 1}",
             )(pts, train)
             in_planes = planes[level]
             enc_pts.append(pts)
+            enc_nbrs.append(nbr)
             inter[f"enc{level + 1}"] = pts
 
-        # decoder: dec5 is the global-context head, dec4..dec1 fuse skips
+        # decoder: dec5 is the global-context head, dec4..dec1 fuse skips;
+        # each stage reuses its encoder level's kNN table (same coords/mask/k)
         dec = DecoderStage(
             planes[4], planes[4], 1, NSAMPLES[4], is_head=True, dtype=dtype,
             name="dec5"
-        )(enc_pts[4], None, train)
+        )(enc_pts[4], None, train, enc_nbrs[4])
         inter["dec5"] = dec
         for level in range(3, -1, -1):
             dec = DecoderStage(
                 planes[level + 1], planes[level], 1, NSAMPLES[level],
                 dtype=dtype, name=f"dec{level + 1}",
-            )(enc_pts[level], dec, train)
+            )(enc_pts[level], dec, train, enc_nbrs[level])
             inter[f"dec{level + 1}"] = dec
 
         y = nn.Dense(planes[0], name="cls1",

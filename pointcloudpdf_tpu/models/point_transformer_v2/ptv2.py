@@ -200,11 +200,19 @@ class BlockSequence(nn.Module):
     norm: Optional[object] = None
 
     @nn.compact
-    def __call__(self, feat, coord, mask, train: bool, context=None):
-        idx, dist2 = jax.vmap(
-            lambda c, m: knn(c, c, self.neighbours, ref_mask=m)
-        )(coord, mask)
-        ref_mask = jnp.isfinite(dist2)
+    def __call__(self, feat, coord, mask, train: bool, context=None,
+                 nbr=None):
+        if nbr is None:
+            idx, dist2 = jax.vmap(
+                lambda c, m: knn(c, c, self.neighbours, ref_mask=m)
+            )(coord, mask)
+            ref_mask = jnp.isfinite(dist2)
+        else:
+            # caller-provided table (ascending by distance, so a wider
+            # table sliced to self.neighbours is the k-NN prefix)
+            idx, ref_mask = nbr
+            idx = idx[..., : self.neighbours]
+            ref_mask = ref_mask[..., : self.neighbours]
         for i in range(self.depth):
             feat = Block(
                 self.embed_channels, self.groups, self.qkv_bias,
@@ -368,12 +376,26 @@ class PointTransformerV2(nn.Module):
             y, mask, train, ctx
         )
         y = nn.relu(y)
+
+        # one kNN table per resolution level, at the widest k any consumer
+        # at that level needs (tables are distance-ascending, so narrower
+        # consumers slice a prefix): the encoder blocks and the decoder
+        # blocks at the same level otherwise each recompute the identical
+        # table — at full resolution that duplicate alone is ~30 ms/batch
+        def _nbr_table(c, m, k):
+            t_idx, t_d2 = jax.vmap(
+                lambda cc, mm: knn(cc, cc, k, ref_mask=mm)
+            )(c, m)
+            return t_idx, jnp.isfinite(t_d2)
+
+        k0 = max(self.patch_embed_neighbours, self.dec_neighbours[0])
+        nbr0 = _nbr_table(coord, mask, k0)
         y = BlockSequence(
             self.patch_embed_depth, self.patch_embed_channels,
             self.patch_embed_groups, self.patch_embed_neighbours,
             self.attn_qkv_bias, self.pe_multiplier, self.pe_bias,
             norm=norm, name="patch_blocks",
-        )(y, coord, mask, train, ctx)
+        )(y, coord, mask, train, ctx, nbr0)
 
         total_blocks = sum(self.enc_depths) + sum(self.dec_depths)
         dp_rates = [
@@ -382,6 +404,7 @@ class PointTransformerV2(nn.Module):
         ]
 
         skips = [(y, coord, mask)]
+        nbrs = [nbr0]
         pools = []
         in_ch = self.patch_embed_channels
         for s in range(num_stages):
@@ -395,17 +418,23 @@ class PointTransformerV2(nn.Module):
                 norm=norm, capacity=cap, name=f"enc{s}_pool",
             )(skips[-1][0], skips[-1][1], skips[-1][2], train, ctx)
             dp = dp_rates[sum(self.enc_depths[:s])]
+            k_lvl = self.enc_neighbours[s]
+            if s + 1 < num_stages:
+                k_lvl = max(k_lvl, self.dec_neighbours[s + 1])
+            nbr = _nbr_table(p_coord, p_mask, k_lvl)
             y = BlockSequence(
                 self.enc_depths[s], self.enc_channels[s], self.enc_groups[s],
                 self.enc_neighbours[s], self.attn_qkv_bias,
                 self.pe_multiplier, self.pe_bias, dp,
                 norm=norm, name=f"enc{s}_blocks",
-            )(y, p_coord, p_mask, train, ctx)
+            )(y, p_coord, p_mask, train, ctx, nbr)
             pools.append(c2p)
             skips.append((y, p_coord, p_mask))
+            nbrs.append(nbr)
             in_ch = self.enc_channels[s]
 
         y, cur_coord, cur_mask = skips.pop()
+        nbrs.pop()  # the deepest level's table has no decoder consumer
         for s in reversed(range(num_stages)):
             skip_feat, skip_coord, skip_mask = skips.pop()
             y = UnpoolWithSkip(
@@ -418,7 +447,7 @@ class PointTransformerV2(nn.Module):
                 self.dec_neighbours[s], self.attn_qkv_bias,
                 self.pe_multiplier, self.pe_bias, dp,
                 norm=norm, name=f"dec{s}_blocks",
-            )(y, skip_coord, skip_mask, train, ctx)
+            )(y, skip_coord, skip_mask, train, ctx, nbrs.pop())
             cur_coord, cur_mask = skip_coord, skip_mask
 
         if self.num_classes > 0:
