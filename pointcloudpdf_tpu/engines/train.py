@@ -97,6 +97,16 @@ class Trainer(TrainerBase):
             f"Devices: {jax.device_count()} ({jax.devices()[0].platform}), "
             f"mesh axes: {self.mesh.axis_names}"
         )
+        if self.mesh.devices.size > 1:
+            # the fused Pallas train kernels flatten (B, N) and have no
+            # GSPMD partitioning rule; multi-device training keeps the
+            # unfused XLA path (sharded-reduction BNs stay free SyncBN)
+            from ..models.point_transformer import modules as _ptmod
+
+            if _ptmod.FUSED_ATTENTION == "auto":
+                _ptmod.FUSED_ATTENTION = "off"
+                self.logger.info(
+                    "multi-device mesh: fused PT-v1 attention kernel off")
         self.max_epoch = cfg.eval_epoch
         self.model = self.build_model()
         self.train_loader = self.build_train_loader()
@@ -524,35 +534,44 @@ class OpenSegTrainer(Trainer):
         return eval_step
 
     def _make_pseudo_forward(self):
-        from ..ops.geometry import ball_query
-
         model = self.model
         rec = self.recognizer
-        k = rec.kp_max_neighbor
 
         @jax.jit
         def pseudo_forward(state: TrainState, batch: Dict):
+            # scores ONLY: 2 floats/point to fetch instead of the (N, K)
+            # logits + (N, Kn) neighbor payload (the table is built
+            # host-side from the coords the trainer already holds, and
+            # overlaps this device pass — VERDICT r3 item 6)
             out = model.apply(
                 {"params": state.params["model"],
                  "batch_stats": state.batch_stats["model"]},
                 batch, train=False,
             )
-            coord, mask = batch["coord"], batch["mask"]
-            if rec.adaptive_radius:
-                radius = rec.neighbor_radius(coord, mask)  # (B,)
-                idx, inside = jax.vmap(
-                    lambda c, m, r: ball_query(c, c, r, k, ref_mask=m)
-                )(coord, mask, radius)
-            else:
-                idx, inside = jax.vmap(
-                    lambda c, m: ball_query(
-                        c, c, rec.kp_ball_radius, k, ref_mask=m
-                    )
-                )(coord, mask)
-            neighbors = jnp.where(inside, idx, -1).astype(jnp.int32)
-            return out["seg_logits"], neighbors
+            return rec.pseudo_scores(out["seg_logits"], batch["mask"])
 
         return pseudo_forward
+
+    def _host_neighbor_table(self, coord_h, count_h):
+        """(B, N, k) -1-padded nearest-in-radius table via scipy cKDTree —
+        runs on host WHILE the device computes the pseudo forward."""
+        from ..recognizers.pseudo_label import host_ball_query
+
+        rec = self.recognizer
+        B, N = coord_h.shape[:2]
+        nbrs = np.full((B, N, rec.kp_max_neighbor), -1, np.int64)
+        for i in range(B):
+            c = int(count_h[i])
+            if c == 0:
+                continue
+            pts = coord_h[i, :c]
+            if rec.adaptive_radius:
+                extent = pts.max(0) - pts.min(0) + 1e-6
+                radius = float(extent.min() / 16.0)
+            else:
+                radius = rec.kp_ball_radius
+            nbrs[i, :c] = host_ball_query(pts, radius, rec.kp_max_neighbor)
+        return nbrs
 
     def initialize_state(self, batch: Dict):
         super().initialize_state(batch)
@@ -574,15 +593,24 @@ class OpenSegTrainer(Trainer):
         if getattr(rec, "has_pseudo_labeling", False) and rec.needs_pseudo(
             self.epoch
         ):
-            seg_logits, neighbors = self._pseudo_forward(self.state, batch)
-            masks = rec.pseudo_masks(
-                np.asarray(jax.device_get(batch["coord"])),
-                np.asarray(jax.device_get(seg_logits)),
-                np.asarray(jax.device_get(neighbors)),
-                np.asarray(jax.device_get(batch["count"])),
+            # async dispatch: the device computes msp/ml while the host
+            # builds the kd-tree neighbor table from its own batch copy
+            msp_d, ml_d = self._pseudo_forward(self.state, batch)
+            coord_h = np.asarray(input_dict["coord"], np.float32)
+            count_h = np.asarray(input_dict["count"])
+            neighbors = self._host_neighbor_table(coord_h, count_h)
+            masks = rec.pseudo_masks_from_scores(
+                coord_h,
+                np.asarray(jax.device_get(msp_d)),
+                np.asarray(jax.device_get(ml_d)),
+                count_h,
                 seed=(self.cfg.get("seed") or 0) + self._host_step,
+                neighbors=neighbors,
             )
-            segment = np.asarray(jax.device_get(batch["segment"]))
+            # host copy of the TRAIN labels (post label-rename semantics:
+            # device_batch substitutes segment_known when present)
+            segment = np.asarray(input_dict.get("segment_known",
+                                                input_dict["segment"]))
             segment_pseudo = np.where(masks, rec.num_classes, segment)
             from ..parallel.mesh import shard_batch
 

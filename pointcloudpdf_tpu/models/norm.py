@@ -21,6 +21,10 @@ class MaskedBatchNorm(nn.Module):
 
     x: (..., C); mask: broadcastable to x.shape[:-1] (True = valid).
     ``momentum`` follows the torch convention: running = (1-m)*old + m*new.
+
+    ``setup``-style so fused-kernel callers can use :meth:`train_affine`
+    with externally computed batch statistics (ops/pallas_attention.py
+    training path) while `__call__` keeps the reference semantics.
     """
 
     features: int
@@ -29,27 +33,54 @@ class MaskedBatchNorm(nn.Module):
     use_scale: bool = True
     use_bias: bool = True
 
-    @nn.compact
-    def __call__(self, x, mask: Optional[jnp.ndarray] = None, train: bool = True,
-                 context: Optional[jnp.ndarray] = None):
-        # ``context`` is accepted (and ignored) so plain and prompt-driven
-        # norms share one call convention inside conditional backbones
-        ra_mean = self.variable(
+    def setup(self):
+        self.ra_mean = self.variable(
             "batch_stats", "mean", lambda: jnp.zeros(self.features, jnp.float32)
         )
-        ra_var = self.variable(
+        self.ra_var = self.variable(
             "batch_stats", "var", lambda: jnp.ones(self.features, jnp.float32)
         )
-        scale = (
+        self.scale = (
             self.param("scale", nn.initializers.ones, (self.features,))
             if self.use_scale
             else 1.0
         )
-        bias = (
+        self.bias = (
             self.param("bias", nn.initializers.zeros, (self.features,))
             if self.use_bias
             else 0.0
         )
+
+    def _update_running(self, mean, var, cnt):
+        # unbiased running variance, biased normalization (torch)
+        unbiased = var * cnt / jnp.maximum(cnt - 1.0, 1.0)
+        m = self.momentum
+        self.ra_mean.value = (1 - m) * self.ra_mean.value + m * mean
+        self.ra_var.value = (1 - m) * self.ra_var.value + m * unbiased
+
+    def train_affine(self, mean, var, cnt):
+        """Training-mode BN as a folded affine over EXTERNAL batch stats.
+
+        ``mean``/``var`` are the masked biased batch statistics computed
+        by the caller (e.g. from a fused kernel's payload); running stats
+        update exactly as __call__ would.  Returns ``(scale, shift)`` with
+        ``y = x * scale + shift`` — differentiable through mean/var, so
+        the batch-stat backward coupling flows via autodiff.
+        """
+        var = jnp.maximum(var, 0.0)
+        if not self.is_initializing():
+            self._update_running(mean, var, cnt)
+        inv = jax.lax.rsqrt(var + self.epsilon) * self.scale
+        return inv, self.bias - mean * inv
+
+    def __call__(self, x, mask: Optional[jnp.ndarray] = None, train: bool = True,
+                 context: Optional[jnp.ndarray] = None):
+        # ``context`` is accepted (and ignored) so plain and prompt-driven
+        # norms share one call convention inside conditional backbones
+        ra_mean = self.ra_mean
+        ra_var = self.ra_var
+        scale = self.scale
+        bias = self.bias
 
         if train:
             xf = x.astype(jnp.float32)
@@ -66,10 +97,7 @@ class MaskedBatchNorm(nn.Module):
             )
             var = jnp.maximum(var, 0.0)
             if not self.is_initializing():
-                # unbiased running variance, biased normalization (torch)
-                unbiased = var * cnt / jnp.maximum(cnt - 1.0, 1.0)
-                ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
-                ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
+                self._update_running(mean, var, cnt)
         else:
             mean, var = ra_mean.value, ra_var.value
 

@@ -24,11 +24,13 @@ from ...ops.sampling import blocked_farthest_point_sampling
 from ..norm import MaskedBatchNorm
 from ..utils.structure import Points, masked_max, masked_mean, masked_softmax
 
-# Trace-time dispatch for the fused Pallas inference attention kernel
-# (ops/pallas_attention.py): "auto" uses it for eval on TPU, "off" keeps
-# the unfused jnp path, "interpret" forces the kernel in interpreter mode
-# (CPU tests). Training always takes the jnp path — BatchNorm batch
-# statistics are global reductions that cannot fold into the kernel.
+# Trace-time dispatch for the fused Pallas attention kernels
+# (ops/pallas_attention.py): "auto" uses them on TPU for BOTH eval (folded
+# running-stat BNs) and training (custom VJP + XLA-side masked batch
+# stats), "off" keeps the unfused jnp path, "interpret" forces the kernels
+# in interpreter mode (CPU tests).  Single-device only: under a >1-device
+# mesh the trainer flips this to "off" (pallas_call has no GSPMD
+# partitioning rule for the flattened (B*N, ...) layout).
 import os as _os
 
 FUSED_ATTENTION = _os.environ.get("PCPDF_FUSED_ATTENTION", "auto")
@@ -95,14 +97,14 @@ class PointTransformerLayer(nn.Module):
 
         mode = FUSED_ATTENTION
         use_fused = mode in ("interpret",) or (
-            mode == "auto" and not train
-            and jax.default_backend() == "tpu"
+            mode == "auto" and jax.default_backend() == "tpu"
         )
         if use_fused:
             # fused Pallas path: the whole post-projection chain runs in
             # VMEM (ops/pallas_attention.py); modules are probed so the
             # parameter tree matches the unfused path exactly
-            from ...ops.pallas_attention import fused_vector_attention
+            from ...ops.pallas_attention import (
+                fused_vector_attention, fused_vector_attention_train)
 
             groups = self.out_planes // self.share_planes
             p1 = dense(3, name="linear_p1")
@@ -117,6 +119,22 @@ class PointTransformerLayer(nn.Module):
             p2_w, p2_b = _dense_wb(p2, 3)
             w1_w, w1_b = _dense_wb(w1, mid)
             w2_w, w2_b = _dense_wb(w2, groups)
+
+            if train:
+                # batch-stat BNs: stats computed from the shared payload
+                # in XLA, folded affines consumed by the custom-VJP'd
+                # kernel; train_affine also updates the running stats
+                out = fused_vector_attention_train(
+                    x_q.astype(jnp.float32), x_k.astype(jnp.float32),
+                    x_v.astype(jnp.float32), coord, idx, nmask,
+                    p1_w, p1_b, p2_w, p2_b, w1_w, w1_b, w2_w, w2_b,
+                    bn_p.train_affine, bn_w1.train_affine,
+                    bn_w2.train_affine,
+                    share_planes=self.share_planes,
+                    interpret=(mode == "interpret"),
+                ).astype(self.dtype)
+                return jnp.where(mask[..., None], out, 0.0)
+
             bnp_s, bnp_t = _bn_affine(bn_p, 3)
             bnw1_s, bnw1_t = _bn_affine(bn_w1, mid)
             bnw2_s, bnw2_t = _bn_affine(bn_w2, groups)

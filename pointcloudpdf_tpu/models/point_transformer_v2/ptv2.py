@@ -211,6 +211,10 @@ class BlockSequence(nn.Module):
             # caller-provided table (ascending by distance, so a wider
             # table sliced to self.neighbours is the k-NN prefix)
             idx, ref_mask = nbr
+            assert idx.shape[-1] >= self.neighbours, (
+                f"nbr table k={idx.shape[-1]} < neighbours="
+                f"{self.neighbours}: slicing would silently shrink the "
+                f"attention neighborhood")
             idx = idx[..., : self.neighbours]
             ref_mask = ref_mask[..., : self.neighbours]
         for i in range(self.depth):
@@ -388,6 +392,13 @@ class PointTransformerV2(nn.Module):
             )(c, m)
             return t_idx, jnp.isfinite(t_d2)
 
+        # NOTE: on the approximate TPU kNN paths (pallas/serial) the
+        # prefix of a k0=16 query is not guaranteed identical to a direct
+        # k=8 query (candidate set and rescue pass depend on k) — exact
+        # and CPU paths are unaffected, and the deviation sits within the
+        # documented sub-1% recall tolerance; the PT-v2 bench + fused-GVA
+        # parity bound (bench.py bench_ptv2) were re-measured on the TPU
+        # path after this table widening (r4: 1.16 Mpts/s, q999 0.0065)
         k0 = max(self.patch_embed_neighbours, self.dec_neighbours[0])
         nbr0 = _nbr_table(coord, mask, k0)
         y = BlockSequence(

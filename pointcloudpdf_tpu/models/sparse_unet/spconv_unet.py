@@ -16,9 +16,12 @@ spconv).  Instead of spconv's rulebook CUDA kernels:
 
 Batch handling: per-sample index maps are built under vmap, then
 everything flattens to (B·N, C) so the GEMMs see one tall matrix.
-Capacity stays N at every level (static shapes; occupancy decays with
-depth), masked BN runs over valid voxels, and ``cls_mode`` ends in a
-masked per-sample mean pool (reference :276-280).
+Per-level capacities are static but optionally SHRINK after each strided
+conv (``level_capacity_factor`` < 1, drop-asserted via the diagnostics
+sow — the indoor configs ship 0.5); masked BN runs over valid voxels,
+and ``cls_mode`` ends in a masked per-sample mean pool (reference
+:276-280).  The dense-extent fast path runs the sorted-window
+implicit-GEMM convs (ops/window_conv.py) instead of the hash rulebook.
 """
 
 from __future__ import annotations

@@ -94,9 +94,15 @@ class KPConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, feat, coord, mask, train: bool):
-        radius = self.kp_radius * self.prev_grid_size
-        kp = jnp.asarray(kpconv_kernel_points()) * radius  # (P, 3)
-        p = kp.shape[0]
+        radius = self.kp_radius * self.prev_grid_size      # neighbor ball
+        # influence extent = the reference KPConvLayer's point_influence
+        # (prev_grid_size * sigma, stratified_transformer_v1m1_origin.py:
+        # 592-597); kernel points spread to 1.5x that (torch_points3d
+        # KPConvLayer._INFLUENCE_TO_RADIUS), stored as an importable
+        # variable so a reference checkpoint's exact K_points disposition
+        # carries over (tools/import_reference_checkpoint.py)
+        sigma_r = self.sigma * self.prev_grid_size
+        p = kpconv_kernel_points().shape[0]
         mid = self.out_channels // 4 if self.residual else self.out_channels
 
         x = feat
@@ -105,8 +111,12 @@ class KPConvBlock(nn.Module):
             x = MaskedBatchNorm(mid, momentum=0.02, name="unary1_bn")(
                 x, mask, train
             )
-            x = nn.relu(x)
+            x = nn.leaky_relu(x, 0.2)
 
+        kp_var = self.variable(
+            "batch_stats", "kp_points",
+            lambda: jnp.asarray(kpconv_kernel_points() * (1.5 * sigma_r)))
+        kp = kp_var.value                                  # (P, 3) absolute
         w = self.param("kp_weight", _trunc02, (p, x.shape[-1], mid))
 
         kp_mode = FUSED_KPCONV
@@ -122,11 +132,9 @@ class KPConvBlock(nn.Module):
             # the reference truncates the same way).
             from ...ops.pallas_kpconv import band_kpconv
 
-            kpt = tuple(map(tuple, (kpconv_kernel_points()
-                                    * radius).tolist()))
             y = band_kpconv(
-                coord, x.astype(jnp.float32), mask, w, kpt, radius,
-                self.sigma * radius, interpret=(kp_mode == "interpret"),
+                coord, x.astype(jnp.float32), mask, w, kp, radius,
+                sigma_r, interpret=(kp_mode == "interpret"),
             ).astype(x.dtype)
         else:
             idx, nmask = jax.vmap(
@@ -148,20 +156,21 @@ class KPConvBlock(nn.Module):
                   + jnp.sum(kp * kp, axis=-1)
                   - 2.0 * jnp.einsum("bnsx,px->bnsp", rel, kp))
             dist = jnp.sqrt(jnp.maximum(d2, 0.0))
-            infl = jnp.maximum(1.0 - dist / (self.sigma * radius), 0.0)
+            infl = jnp.maximum(1.0 - dist / sigma_r, 0.0)
             infl = jnp.where(nmask[..., None], infl, 0.0)  # (B, N, S, P)
             gathered = g[..., 3:].astype(x.dtype)          # (B, N, S, Cm)
             per_kp = jnp.einsum("bnsp,bnsc->bnpc", infl, gathered)
             y = jnp.einsum("bnpc,pcd->bnd", per_kp, w)
 
         if self.residual:
-            y = MaskedBatchNorm(mid, momentum=0.02, name="mid_bn")(
-                y, mask, train
-            )
-            y = nn.relu(y)
+            # reference KPConvResBlock.forward (:650-662): kpconv output
+            # goes STRAIGHT into unary_2 (Linear->BN->LeakyReLU 0.2); the
+            # block's self.bn/self.activation are defined but never
+            # called, and there is no activation after the shortcut add
             y = nn.Dense(self.out_channels, use_bias=False, name="unary2")(y)
             y = MaskedBatchNorm(self.out_channels, momentum=0.02,
                                 name="unary2_bn")(y, mask, train)
+            y = nn.leaky_relu(y, 0.2)
             if self.in_channels != self.out_channels:
                 sc = nn.Dense(self.out_channels, use_bias=False,
                               name="shortcut")(feat)
@@ -174,7 +183,7 @@ class KPConvBlock(nn.Module):
             y = MaskedBatchNorm(self.out_channels, momentum=0.02, name="bn")(
                 y, mask, train
             )
-            y = nn.leaky_relu(y, 0.1)
+            y = nn.leaky_relu(y, 0.2)
         return jnp.where(mask[..., None], y, 0.0)
 
 

@@ -51,18 +51,19 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _kpconv_kernel(src_t, feat_src, q_ref, w_ref, out_ref, band_t, bf, sem,
-                   *, kp: Tuple[Tuple[float, float, float], ...],
-                   radius: float, sigma_r: float, tile: int, band: int,
-                   stride: int, n_tiles: int, dedup: bool):
+def _kpconv_kernel(src_t, feat_src, q_ref, kp_ref, w_ref, out_ref, band_t,
+                   bf, sem, *, n_kp: int, radius: float, sigma_r: float,
+                   tile: int, band: int, stride: int, n_tiles: int,
+                   dedup: bool):
     """src_t: (8, B*stride) HBM [x; y; z; flag; rankA; 0...] transposed;
     feat_src: (B*stride, 128) HBM [feat | zero pad]; q_ref: (T, 8) VMEM
-    query rows [x, y, z, flag, rankA, pad]; w_ref: (P*128, C_out_pad)
+    query rows [x, y, z, flag, rankA, pad]; kp_ref: (P, 3) VMEM kernel
+    point coords in ABSOLUTE units (operand, not static — importable
+    from a reference checkpoint's K_points); w_ref: (P*128, C_out_pad)
     VMEM kernel weights, rows p*128..p*128+Cm (zero rows elsewhere);
     out_ref: (T, C_out_pad); band_t/bf: VMEM scratch; sem: DMA (2,).
-    kp: static kernel-point coords (pre-scaled by radius).  With
-    ``dedup`` the pair is skipped when the neighbor's pass-A rank falls
-    inside the query's pass-A band (it was already counted there)."""
+    With ``dedup`` the pair is skipped when the neighbor's pass-A rank
+    falls inside the query's pass-A band (it was already counted there)."""
     from jax.experimental.pallas import tpu as pltpu
 
     i = pl.program_id(0)
@@ -99,7 +100,12 @@ def _kpconv_kernel(src_t, feat_src, q_ref, w_ref, out_ref, band_t, bf, sem,
 
     inv_sr = 1.0 / sigma_r
     y = jnp.zeros((tile, out_ref.shape[1]), jnp.float32)
-    for p, (kx, ky, kz) in enumerate(kp):
+    for p in range(n_kp):
+        # SMEM scalar reads (a (1,1) VMEM slice cannot broadcast to a
+        # full tile in Mosaic: "unsupported vector.broadcast")
+        kx = kp_ref[p, 0]
+        ky = kp_ref[p, 1]
+        kz = kp_ref[p, 2]
         k2 = kx * kx + ky * ky + kz * kz
         u = dist2 - 2.0 * (d0 * kx + d1 * ky + d2ax * kz) + k2
         dist = jnp.sqrt(jnp.maximum(u, 0.0))
@@ -146,13 +152,13 @@ def _sort_rank(coord, mask, shift_frac: float):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "kp", "radius", "sigma_r", "tile", "halo", "interpret"))
+    "radius", "sigma_r", "tile", "halo", "interpret"))
 def band_kpconv(
     coord: jnp.ndarray,
     feat: jnp.ndarray,
     mask: jnp.ndarray,
     weights: jnp.ndarray,
-    kp: Tuple[Tuple[float, float, float], ...],
+    kp: jnp.ndarray,
     radius: float,
     sigma_r: float,
     tile: int = 128,
@@ -162,17 +168,19 @@ def band_kpconv(
     """Two-pass sorted-band KPConv over batched padded samples.
 
     coord: (B, N, 3); feat: (B, N, Cm) with Cm <= 124; mask: (B, N);
-    weights: (P, Cm, C_out); kp: static kernel points PRE-SCALED by the
-    radius; radius: ball cutoff; sigma_r: influence extent (sigma *
-    radius).  Returns (B, N, C_out) = sum over in-radius union-band
-    neighbors of relu(1 - |rel - kp_p| / sigma_r) * feat @ W_p, in the
-    ORIGINAL row order (the sort round-trips happen inside).
+    weights: (P, Cm, C_out); kp: (P, 3) kernel point coords in ABSOLUTE
+    units (an array operand so a reference checkpoint's exact K_points
+    disposition imports); radius: ball cutoff; sigma_r: influence extent
+    (the reference's point_influence).  Returns (B, N, C_out) = sum over
+    in-radius union-band neighbors of
+    relu(1 - |rel - kp_p| / sigma_r) * feat @ W_p, in the ORIGINAL row
+    order (the sort round-trips happen inside).
     """
     _ensure_pallas()
     from jax.experimental.pallas import tpu as pltpu
 
     b, n, cm = feat.shape
-    p = len(kp)
+    p = kp.shape[0]
     c_out = weights.shape[-1]
     assert cm <= _LANE - 4
     c_out_pad = _round_up(c_out, _LANE)
@@ -215,7 +223,7 @@ def band_kpconv(
 
         out = pl.pallas_call(
             functools.partial(
-                _kpconv_kernel, kp=kp, radius=radius, sigma_r=sigma_r,
+                _kpconv_kernel, n_kp=p, radius=radius, sigma_r=sigma_r,
                 tile=tile, band=band, stride=stride, n_tiles=n_tiles,
                 dedup=dedup),
             grid=(b * n_tiles,),
@@ -224,6 +232,7 @@ def band_kpconv(
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec((tile, 8), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((tile, c_out_pad), lambda i: (i, 0),
@@ -238,7 +247,7 @@ def band_kpconv(
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",)),
             interpret=interpret,
-        )(src_t, feat_flat, q_flat, w_pad)
+        )(src_t, feat_flat, q_flat, kp.astype(jnp.float32), w_pad)
 
         out = out.reshape(b, n_pad, c_out_pad)[:, :n, :c_out]
         inv = jnp.zeros_like(perm)

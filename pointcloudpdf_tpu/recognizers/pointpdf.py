@@ -113,6 +113,21 @@ class PointPdfV1:
         c_max = jnp.max(jnp.where(mask[..., None], coord, -big), axis=1)
         return jnp.min((c_max - c_min + 1e-6) / 16.0, axis=-1)  # (B,)
 
+    def pseudo_scores(self, seg_logits: jnp.ndarray, mask: jnp.ndarray):
+        """(B,N,K) logits -> ((B,N) msp, (B,N) per-sample-normalized max
+        logit) — the ONLY per-point values the host graph stage consumes
+        (reference pointpdf_v1m1_base.py:211-218).  Computing them on
+        device shrinks the host fetch from (N, K) logits to 2 floats per
+        point; min/max are masked per sample like the reference's
+        per-scene normalization."""
+        msp = jnp.max(jax.nn.softmax(seg_logits, axis=-1), axis=-1)
+        ml = jnp.max(seg_logits, axis=-1)
+        big = jnp.float32(1e30)
+        ml_min = jnp.min(jnp.where(mask, ml, big), axis=1, keepdims=True)
+        ml_max = jnp.max(jnp.where(mask, ml, -big), axis=1, keepdims=True)
+        ml = (ml - ml_min) / (ml_max - ml_min + 1e-6)
+        return msp, ml
+
     # -- host pseudo-labeling ------------------------------------------------
     def pseudo_masks(
         self,
@@ -126,6 +141,35 @@ class PointPdfV1:
             coord, seg_logits, neighbors, count,
             seed=seed,
             n_jobs=self.pseudo_jobs,
+            condition_from=self.condition_from,
+            beta=self.beta,
+            seed_from=self.seed_from,
+            seed_range=self.seed_range,
+            num_seed=self.num_seed,
+            slide_window=self.slide_window,
+        )
+
+    def pseudo_masks_from_scores(
+        self,
+        coord: np.ndarray,       # (B, N, 3) host copy (no fetch needed)
+        msp: np.ndarray,         # (B, N) device-computed
+        ml: np.ndarray,          # (B, N) device-computed, normalized
+        count: np.ndarray,
+        seed: int = 0,
+        neighbors: np.ndarray = None,
+        ball_radius: float = None,
+    ) -> np.ndarray:
+        """Scores-only variant: the neighbor table is built host-side
+        (scipy cKDTree) from the coords the trainer already holds, so the
+        device->host payload is just the two (B, N) score sheets."""
+        return pseudo_labeling_batch(
+            coord, None, neighbors, count,
+            seed=seed,
+            n_jobs=self.pseudo_jobs,
+            scores=(msp, ml),
+            ball_radius=(self.kp_ball_radius if ball_radius is None
+                         else ball_radius),
+            ball_k=self.kp_max_neighbor,
             condition_from=self.condition_from,
             beta=self.beta,
             seed_from=self.seed_from,

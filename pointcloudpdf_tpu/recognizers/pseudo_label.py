@@ -98,9 +98,30 @@ def _row_confidence_similarity(node: np.ndarray, node_nn: np.ndarray,
     return np.where(use, sim, -10.0)
 
 
+def host_ball_query(coord: np.ndarray, radius: float, k: int) -> np.ndarray:
+    """(N, 3) -> (N, k) nearest-in-radius neighbor table, -1 padded.
+
+    Host-side replacement for fetching the device ball-query table: the
+    trainer already owns the batch coords on host, so the table costs
+    ZERO device->host bytes and overlaps with the device forward (the
+    reference computes the same table on GPU and moves it,
+    pointpdf_v1m1_base.py:122-149).
+    """
+    from scipy.spatial import cKDTree
+
+    n = len(coord)
+    if n == 0:
+        return np.zeros((0, k), np.int64)
+    tree = cKDTree(coord)
+    dist, idx = tree.query(coord, k=k, distance_upper_bound=radius)
+    if k == 1:
+        dist, idx = dist[:, None], idx[:, None]
+    return np.where(np.isfinite(dist), idx, -1).astype(np.int64)
+
+
 def pseudo_labeling(
     coord: np.ndarray,          # (N, 3)
-    seg_logits: np.ndarray,     # (N, K)
+    seg_logits: Optional[np.ndarray],   # (N, K); None when scores given
     neighbors: np.ndarray,      # (N, Kn) int, -1 = invalid slot
     condition_from: str = "msp",
     beta: float = 1.5,
@@ -109,6 +130,7 @@ def pseudo_labeling(
     num_seed: int = 20,
     slide_window: bool = True,
     rng: Optional[np.random.RandomState] = None,
+    scores: Optional[tuple] = None,     # (msp (N,), ml_normalized (N,))
 ) -> np.ndarray:
     """One scene -> (N,) bool pseudo-unknown mask."""
     rng = rng or np.random.RandomState()
@@ -116,19 +138,28 @@ def pseudo_labeling(
     if n == 0:
         return np.zeros((0,), bool)
 
-    msp = _softmax(seg_logits).max(axis=-1)
-    ml = seg_logits.max(axis=-1)
-    ml = (ml - ml.min()) / (ml.max() - ml.min() + 1e-6)
+    if scores is not None:
+        # device-computed (N,) msp + min-max-normalised max-logit: the
+        # only per-point values the host chain needs — 2 floats/point
+        # instead of the full (N, K) logits payload
+        msp, ml = (np.asarray(s, np.float32) for s in scores)
+    else:
+        msp = _softmax(seg_logits).max(axis=-1)
+        ml = seg_logits.max(axis=-1)
+        ml = (ml - ml.min()) / (ml.max() - ml.min() + 1e-6)
 
     grow_score = msp if condition_from == "msp" else ml
-    stop_condition = grow_score.mean() - beta * grow_score.std()
+    # ddof=1: the reference's torch.std is unbiased (pointpdf_v1m1_base.py
+    # :200-203); asserted by tests/test_reference_parity.py
+    stop_condition = grow_score.mean() - beta * grow_score.std(ddof=1)
     seed_score = msp if seed_from == "msp" else ml
 
-    # seeds: random draws from the lowest-score quantile
+    # seeds: random draws from the lowest-score quantile.  NOT deduped —
+    # the reference keeps colliding dice as duplicate seed rows, which
+    # weight the first iterations' region means (:205-209,230-236)
     hi = max(int(seed_range * n), 1)
     dice = rng.randint(0, hi, size=num_seed)
     graph_idx = np.argsort(seed_score, kind="stable")[dice]
-    graph_idx = np.unique(graph_idx)
 
     # ---- iterative mean-shift region growth -------------------------------
     while True:
@@ -222,24 +253,38 @@ def pseudo_labeling(
 
 def pseudo_labeling_batch(
     coord: np.ndarray,        # (B, N, 3)
-    seg_logits: np.ndarray,   # (B, N, K)
-    neighbors: np.ndarray,    # (B, N, Kn) int, -1 invalid
+    seg_logits: Optional[np.ndarray],   # (B, N, K) or None with scores
+    neighbors: Optional[np.ndarray],    # (B, N, Kn) int, -1 invalid
     count: np.ndarray,        # (B,) valid points per sample
     seed: int = 0,
     n_jobs: int = 4,
+    scores: Optional[tuple] = None,     # ((B, N) msp, (B, N) ml)
+    ball_radius: Optional[float] = None,
+    ball_k: int = 64,
     **kwargs,
 ) -> np.ndarray:
     """Padded batch -> (B, N) bool mask; parallel over batch items
-    (reference joblib(4), pointpdf_v1m1_base.py:161-174)."""
+    (reference joblib(4), pointpdf_v1m1_base.py:161-174).  When
+    ``neighbors`` is None the table is built host-side per sample
+    (:func:`host_ball_query`, radius ``ball_radius``, cap ``ball_k``)."""
     from joblib import Parallel, delayed
 
     B, N = coord.shape[:2]
+    if neighbors is None:
+        assert ball_radius is not None
 
     def one(i):
         c = int(count[i])
+        nbr = (neighbors[i, :c] if neighbors is not None else
+               host_ball_query(coord[i, :c], ball_radius, ball_k))
         m = pseudo_labeling(
-            coord[i, :c], seg_logits[i, :c], neighbors[i, :c],
-            rng=np.random.RandomState(seed + i), **kwargs,
+            coord[i, :c],
+            None if seg_logits is None else seg_logits[i, :c],
+            nbr,
+            rng=np.random.RandomState(seed + i),
+            scores=None if scores is None else
+            (scores[0][i, :c], scores[1][i, :c]),
+            **kwargs,
         )
         out = np.zeros((N,), bool)
         out[:c] = m

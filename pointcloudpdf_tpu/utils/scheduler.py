@@ -109,10 +109,15 @@ class OneCycleLR:
     def __call__(self, step):
         import jax.numpy as jnp
 
-        up_steps = self.pct_start * self.total_steps
-        down_steps = self.total_steps - up_steps
+        # torch OneCycleLR phase boundaries: the warm phase spans
+        # ``pct_start * total_steps - 1`` scheduler steps and the anneal
+        # the remainder (torch lr_scheduler.OneCycleLR step_size_up/_down
+        # — asserted curve-equal by tests/test_reference_parity.py)
+        up_steps = float(self.pct_start * self.total_steps) - 1.0
+        down_steps = float(self.total_steps - up_steps - 1.0)
         up_pct = jnp.clip(step / jnp.maximum(up_steps, 1e-12), 0, 1)
-        down_pct = jnp.clip((step - up_steps) / jnp.maximum(down_steps, 1e-12), 0, 1)
+        down_pct = jnp.clip(
+            (step - up_steps) / jnp.maximum(down_steps, 1e-12), 0, 1)
         up = self.initial_lr + (self.max_lr - self.initial_lr) * (
             1 - jnp.cos(jnp.pi * up_pct)
         ) / 2

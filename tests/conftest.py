@@ -7,8 +7,12 @@ paths (pjit/shard_map over a Mesh) are exercised without TPU hardware.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
-# persistent compile cache: repeated test runs skip XLA recompiles
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+# persistent compile cache: repeated test runs skip XLA recompiles.
+# It lives in the repo tree (gitignored) — /tmp is wiped between rounds,
+# a repo-anchored cache stays warm across them.
+_TEST_CACHE = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".jax_cache_tests")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _TEST_CACHE)
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 flags = os.environ.get("XLA_FLAGS", "")
@@ -30,7 +34,8 @@ import jax
 # the axon TPU plugin ignores the JAX_PLATFORMS env var; only the config
 # flag actually forces the CPU backend in this image
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 

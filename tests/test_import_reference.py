@@ -170,13 +170,20 @@ def _st_reference_state(rng, depths, channels, heads, num_layers, l2=16,
                         num_classes=4):
     sd = {}
     c0 = channels[0]
-    # stems (torch_points3d: FastBatchNorm1d nests .batch_norm)
+    # stems (torch_points3d: FastBatchNorm1d nests .batch_norm; the
+    # kernel-point disposition is a frozen K_points parameter in
+    # ABSOLUTE units, spread within 1.5 * point_influence)
+    kp_scale = 1.5 * 0.1  # prev_grid_size=0.1, sigma=1.0 in the config
+    sd["backbone.stem_layer.0.kpconv.K_points"] = (
+        _rng_like(rng, (15, 3)) * 0.3 * kp_scale)
     sd["backbone.stem_layer.0.kpconv.weight"] = _rng_like(rng, (15, 6, c0))
     _torch_bn(rng, sd, "backbone.stem_layer.0.bn.batch_norm", c0)
     d2 = c0 // 4
     _torch_linear(rng, sd, "backbone.stem_layer.1.unary_1.0", (c0, d2),
                   bias=False)
     _torch_bn(rng, sd, "backbone.stem_layer.1.unary_1.1.batch_norm", d2)
+    sd["backbone.stem_layer.1.kpconv.K_points"] = (
+        _rng_like(rng, (15, 3)) * 0.3 * kp_scale)
     sd["backbone.stem_layer.1.kpconv.weight"] = _rng_like(rng, (15, d2, d2))
     _torch_linear(rng, sd, "backbone.stem_layer.1.unary_2.0", (d2, c0),
                   bias=False)
@@ -250,10 +257,8 @@ def test_st_v1m1_round_trip():
 
     assert not report["unmapped"], report["unmapped"][:8]
     assert not report.get("no_target"), report.get("no_target")[:8]
-    # ONLY the documented divergence may stay at init: stem1/mid_bn
-    leftovers = {p.split("/", 1)[1].rsplit("/", 1)[0]
-                 for p in report["unfilled_target"]}
-    assert leftovers <= {"backbone_module/stem1/mid_bn"}, leftovers
+    # round-4: the ST map is EXACT — zero framework tensors left at init
+    assert not report["unfilled_target"], report["unfilled_target"][:8]
 
     # cRPE tables copy verbatim
     got = payload["state"]["params"]["backbone_module"]["layer1_block0"][
@@ -270,3 +275,138 @@ def test_st_v1m1_round_trip():
         {"params": payload["state"]["params"],
          "batch_stats": payload["state"]["batch_stats"]}, batch)
     assert np.isfinite(np.asarray(out["seg_logits"])).all()
+
+
+# -- stem forward equivalence against a hand-built reference forward --------
+
+
+def _np_bn_eval(sd, key, x, eps=1e-5):
+    return ((x - sd[key + ".running_mean"])
+            / np.sqrt(sd[key + ".running_var"] + eps)
+            * sd[key + ".weight"] + sd[key + ".bias"])
+
+
+def _np_leaky(x, slope=0.2):
+    return np.where(x > 0, x, slope * x)
+
+
+def _np_kpconv(coord, feat, kp, w, radius, sigma_r):
+    """Reference KPConvLayer forward (torch_points3d kernels.py; linear
+    influence, sum aggregation, add_one=False) with an exhaustive ball
+    neighborhood — the ground truth both the torch stem and ours
+    approximate with capped neighbor lists."""
+    n = coord.shape[0]
+    out = np.zeros((n, w.shape[2]), np.float64)
+    for i in range(n):
+        rel = coord - coord[i]
+        nb = np.where((rel ** 2).sum(1) <= radius * radius)[0]
+        for p in range(kp.shape[0]):
+            dist = np.sqrt(((rel[nb] - kp[p]) ** 2).sum(1))
+            infl = np.maximum(1.0 - dist / sigma_r, 0.0)
+            out[i] += (infl[:, None] * feat[nb]).sum(0) @ w[p]
+    return out.astype(np.float32)
+
+
+def test_st_stem_forward_matches_reference_math():
+    """Imported stem weights must reproduce the reference stem forward
+    (KPConvSimpleBlock + KPConvResBlock, stratified_transformer_v1m1_
+    origin.py:581-662) computed independently in numpy: kpconv with the
+    checkpoint's own K_points -> BN -> LeakyReLU(0.2), then the res
+    block unary_1 -> kpconv -> unary_2 -> += shortcut (identity here;
+    no mid BN, no post-add activation)."""
+    from pointcloudpdf_tpu.models.stratified_transformer import st as stm
+
+    rng = np.random.RandomState(3)
+    c0, n = 16, 64
+    prev_grid_size, sigma = 0.1, 1.0
+    sigma_r = sigma * prev_grid_size          # reference point_influence
+    radius = 0.25                             # kp_ball_radius
+    sd = {}
+    kp0 = (rng.randn(15, 3) * 0.3 * 1.5 * sigma_r).astype(np.float32)
+    kp1 = (rng.randn(15, 3) * 0.3 * 1.5 * sigma_r).astype(np.float32)
+    sd["backbone.stem_layer.0.kpconv.K_points"] = kp0
+    sd["backbone.stem_layer.0.kpconv.weight"] = _rng_like(rng, (15, 6, c0))
+    _torch_bn(rng, sd, "backbone.stem_layer.0.bn.batch_norm", c0)
+    d2 = c0 // 4
+    _torch_linear(rng, sd, "backbone.stem_layer.1.unary_1.0", (c0, d2),
+                  bias=False)
+    _torch_bn(rng, sd, "backbone.stem_layer.1.unary_1.1.batch_norm", d2)
+    sd["backbone.stem_layer.1.kpconv.K_points"] = kp1
+    sd["backbone.stem_layer.1.kpconv.weight"] = _rng_like(rng, (15, d2, d2))
+    _torch_linear(rng, sd, "backbone.stem_layer.1.unary_2.0", (d2, c0),
+                  bias=False)
+    _torch_bn(rng, sd, "backbone.stem_layer.1.unary_2.1.batch_norm", c0)
+
+    coord = rng.rand(n, 3).astype(np.float32) * 0.6
+    feat = rng.randn(n, 6).astype(np.float32)
+
+    # --- numpy reference forward ---------------------------------------
+    B0 = "backbone.stem_layer.0"
+    y = _np_kpconv(coord, feat, kp0, sd[B0 + ".kpconv.weight"],
+                   radius, sigma_r)
+    y = _np_leaky(_np_bn_eval(sd, B0 + ".bn.batch_norm", y))
+    B1 = "backbone.stem_layer.1"
+    shortcut = y
+    h = y @ sd[B1 + ".unary_1.0.weight"].T
+    h = _np_leaky(_np_bn_eval(sd, B1 + ".unary_1.1.batch_norm", h))
+    h = _np_kpconv(coord, h, kp1, sd[B1 + ".kpconv.weight"],
+                   radius, sigma_r)
+    h = h @ sd[B1 + ".unary_2.0.weight"].T
+    h = _np_leaky(_np_bn_eval(sd, B1 + ".unary_2.1.batch_norm", h))
+    want = h + shortcut
+
+    # --- our stem with imported params (XLA ball-query path; the cap is
+    # above the densest neighborhood so the neighbor sets are exhaustive)
+    counts = ((coord[None] - coord[:, None]) ** 2).sum(-1) <= radius ** 2
+    assert counts.sum(1).max() < 60
+    blocks = []
+    for name, residual, cin in (("stem0", False, 6), ("stem1", True, c0)):
+        blocks.append(stm.KPConvBlock(
+            cin, c0, prev_grid_size, sigma, residual=residual,
+            kp_radius=radius / prev_grid_size, max_neighbor=60,
+            name=name))
+
+    cj = jnp.asarray(coord)[None]
+    mj = jnp.ones((1, n), bool)
+    variables0 = jax.jit(lambda: blocks[0].init(
+        jax.random.PRNGKey(0), jnp.asarray(feat)[None], cj, mj, False))()
+    variables1 = jax.jit(lambda: blocks[1].init(
+        jax.random.PRNGKey(1), jnp.zeros((1, n, c0)), cj, mj, False))()
+
+    from import_reference_checkpoint import translate
+    ours, _ = translate(sd, "st-v1m1")
+
+    def fill(variables, stem):
+        v = jax.tree_util.tree_map(np.asarray, dict(variables))
+        pref = f"backbone_module/{stem}/"
+        for path, arr in ours.items():
+            coll, rest = path.split("/", 1)
+            if not rest.startswith(pref):
+                continue
+            keys = rest[len(pref):].split("/")
+            node = v[coll]
+            for kk in keys[:-1]:
+                node = node[kk]
+            assert node[keys[-1]].shape == arr.shape, (path, arr.shape)
+            node[keys[-1]] = arr
+        return v
+
+    old = stm.FUSED_KPCONV
+    stm.FUSED_KPCONV = "off"
+    try:
+        v0 = fill(variables0, "stem0")
+        out0 = jax.jit(lambda v: blocks[0].apply(
+            v, jnp.asarray(feat)[None], cj, mj, False))(v0)
+        v1 = fill(variables1, "stem1")
+        out1 = jax.jit(lambda v, f: blocks[1].apply(v, f, cj, mj, False))(
+            v1, out0)
+    finally:
+        stm.FUSED_KPCONV = old
+
+    got0 = np.asarray(out0)[0]
+    np.testing.assert_allclose(
+        got0, _np_leaky(_np_bn_eval(sd, B0 + ".bn.batch_norm", _np_kpconv(
+            coord, feat, kp0, sd[B0 + ".kpconv.weight"], radius, sigma_r))),
+        rtol=2e-4, atol=2e-4)
+    got = np.asarray(out1)[0]
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=3e-4)

@@ -83,11 +83,10 @@ def test_band_neighbor_recall_surface():
     mask = jnp.ones((1, n), bool)
     radius = 0.05
     kp = stm.kpconv_kernel_points() * radius
-    kpt = tuple(map(tuple, kp.tolist()))
     w = jnp.asarray(rng.rand(kp.shape[0], 4, 8).astype(np.float32) - 0.5)
 
-    got = np.asarray(band_kpconv(coord, feat, mask, w, kpt, radius,
-                                 radius, interpret=True))[0]
+    got = np.asarray(band_kpconv(coord, feat, mask, w, jnp.asarray(kp),
+                                 radius, radius, interpret=True))[0]
 
     # exact reference: all-pairs influence conv (no caps)
     c = np.asarray(coord[0])

@@ -16,16 +16,18 @@ Supported families (``--family``):
   framework parameter (the reference's "LayerNorm1d" is a transposed
   BatchNorm1d, matching our MaskedBatchNorm).
 - ``st-v1m1``: StratifiedTransformer segmentors (reference
-  stratified_transformer_v1m1_origin.py).  Exact for the attention
-  trunk (qkv/proj/cRPE tables/LayerNorms/MLPs/up/downsamples/classifier).
-  KNOWN DIVERGENCES, reported at run time:
-  * the KPConv stems map ``kpconv.weight`` onto ``kp_weight`` but this
-    framework uses a fixed deterministic kernel-point disposition while
-    torch_points3d ships an optimized one — imported stem weights are
-    correlated, not equivalent;
-  * our residual stem block carries an extra mid BN+ReLU between the
-    kpconv and unary2 (the reference defines but never calls its
-    res-block ``bn``); the importer leaves it at neutral init.
+  stratified_transformer_v1m1_origin.py).  EXACT parameter mapping: the
+  attention trunk (qkv/proj/cRPE tables/LayerNorms/MLPs/up/downsamples/
+  classifier) AND the KPConv stems — torch_points3d's KPConvLayer stores
+  its optimized kernel-point disposition as a frozen ``K_points``
+  parameter, which maps onto the stem's ``kp_points`` variable, and the
+  stem block structure matches the reference forward exactly (round-4
+  fix: no mid BN, LeakyReLU(0.2), trailing unary_2 activation,
+  point_influence = prev_grid_size * sigma).  The only residual
+  difference is the *neighbor set*: the reference's tp.ball_query caps
+  at max_neighbor arbitrary in-radius points, ours takes the nearest
+  (XLA path) or the uncapped sorted band (fused path) — an approximation
+  bounded by tests/test_approx_stack.py, not a weight mapping gap.
 
 Transforms: Linear ``weight`` (out, in) -> ``kernel`` (in, out) [T];
 BatchNorm ``weight/bias/running_mean/running_var`` ->
@@ -91,12 +93,17 @@ def _raw(dst: str, leaf: str, v: np.ndarray):
 
 
 def _raw_weight(dst: str, leaf: str, v: np.ndarray):
-    """Module whose ``weight`` maps verbatim; other leaves (e.g. the
-    torch_points3d kernel-point disposition buffer) are dropped — this
-    framework uses its own fixed disposition (see module docstring)."""
+    """Module whose ``weight`` maps verbatim (the kernel-point
+    disposition ``K_points`` is handled by its own rule -> kp_points)."""
     if leaf == "weight":
         return [(f"params/{dst}", v)]
     return []
+
+
+def _kp_points(dst: str, leaf: str, v: np.ndarray):
+    """torch_points3d KPConvLayer.K_points (frozen parameter, absolute
+    coords) -> the stem's importable ``kp_points`` variable."""
+    return [(f"batch_stats/{dst}", v)]
 
 
 # --------------------------------------------------------------------------
@@ -149,6 +156,8 @@ def _st_v1m1_rules(num_layers: int = 5) -> List[Tuple[str, str, object]]:
     B = r"backbone\."
     tr = [
         # KPConv stems (FastBatchNorm1d nests the BN as .batch_norm)
+        (B + r"stem_layer\.(\d)\.kpconv\.K_points$",
+         r"backbone_module/stem\1/kp_points", _kp_points),
         (B + r"stem_layer\.0\.kpconv$", "backbone_module/stem0/kp_weight",
          _raw_weight),
         (B + r"stem_layer\.0\.bn(?:\.batch_norm)?$", "backbone_module/stem0/bn",
