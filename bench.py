@@ -969,13 +969,18 @@ def main():
         extras["bench_elapsed_s"] = round(time.perf_counter() - t_start, 1)
         _emit(points_per_sec, extras)
 
+    # stage order = value / cold-compile-cost: a COLD driver run (the
+    # .jax_cache dir is new in r4 and has never been proven to survive a
+    # round boundary) slices from the front at the budget, so the cheap
+    # quality asserts and the round-4 focus stages (st, pdf) run before
+    # the long-compiling but already-settled spunet (571 s cold)
     run_stage("train", lambda: bench_ptv1_train(np.random.RandomState(0)))
     run_stage("quality", lambda: bench_quality(np.random.RandomState(1)))
-    run_stage("spunet", lambda: bench_spunet(np.random.RandomState(2)))
-    run_stage("ptv3", lambda: bench_ptv3(np.random.RandomState(3)))
-    run_stage("ptv2", lambda: bench_ptv2(np.random.RandomState(6)))
     run_stage("st", lambda: bench_st(np.random.RandomState(4)))
     run_stage("pdf", lambda: bench_pdf_train(np.random.RandomState(5)))
+    run_stage("ptv2", lambda: bench_ptv2(np.random.RandomState(6)))
+    run_stage("ptv3", lambda: bench_ptv3(np.random.RandomState(3)))
+    run_stage("spunet", lambda: bench_spunet(np.random.RandomState(2)))
 
     _emit(points_per_sec, extras)
 
