@@ -387,6 +387,7 @@ class OpenSegTrainer(Trainer):
         self.eval_only = cfg.get("eval_only", False)
         self.best_metric_value = {}  # metric name -> best value
         self._pseudo_forward = None
+        self._pending = None  # pipelined (batch, rec_w, flagged) awaiting train
 
     # -- label handling ------------------------------------------------------
     def device_batch(self, input_dict: Dict) -> Dict:
@@ -552,26 +553,19 @@ class OpenSegTrainer(Trainer):
 
         return pseudo_forward
 
-    def _host_neighbor_table(self, coord_h, count_h):
-        """(B, N, k) -1-padded nearest-in-radius table via scipy cKDTree —
-        runs on host WHILE the device computes the pseudo forward."""
-        from ..recognizers.pseudo_label import host_ball_query
-
+    def _host_radii(self, coord_h, count_h):
+        """Per-sample ball radius: static, or the reference's adaptive
+        min-extent/16 (pointpdf_v1m1_base.py:118-137)."""
         rec = self.recognizer
-        B, N = coord_h.shape[:2]
-        nbrs = np.full((B, N, rec.kp_max_neighbor), -1, np.int64)
-        for i in range(B):
-            c = int(count_h[i])
-            if c == 0:
-                continue
-            pts = coord_h[i, :c]
-            if rec.adaptive_radius:
-                extent = pts.max(0) - pts.min(0) + 1e-6
-                radius = float(extent.min() / 16.0)
-            else:
-                radius = rec.kp_ball_radius
-            nbrs[i, :c] = host_ball_query(pts, radius, rec.kp_max_neighbor)
-        return nbrs
+        radii = np.full((coord_h.shape[0],), rec.kp_ball_radius, np.float64)
+        if rec.adaptive_radius:
+            for i in range(coord_h.shape[0]):
+                c = int(count_h[i])
+                if c:
+                    pts = coord_h[i, :c]
+                    radii[i] = float((pts.max(0) - pts.min(0) + 1e-6).min()
+                                     / 16.0)
+        return radii
 
     def initialize_state(self, batch: Dict):
         super().initialize_state(batch)
@@ -579,49 +573,16 @@ class OpenSegTrainer(Trainer):
             self._pseudo_forward = self._make_pseudo_forward()
 
     # -- the step ---------------------------------------------------------------
-    def run_step(self):
-        input_dict = self.comm_info["input_dict"]
-        batch = self.device_batch(input_dict)
-        if self.state is None:
-            self.initialize_state(batch)
-            self._host_step = int(jax.device_get(self.state.step))
-
-        rec = self.recognizer
-        rec.set_epoch(self.epoch)
-        rec_w = rec.loss_weight(self.epoch)
-        pseudo_flagged = None
-        if getattr(rec, "has_pseudo_labeling", False) and rec.needs_pseudo(
-            self.epoch
-        ):
-            # async dispatch: the device computes msp/ml while the host
-            # builds the kd-tree neighbor table from its own batch copy
-            msp_d, ml_d = self._pseudo_forward(self.state, batch)
-            coord_h = np.asarray(input_dict["coord"], np.float32)
-            count_h = np.asarray(input_dict["count"])
-            neighbors = self._host_neighbor_table(coord_h, count_h)
-            masks = rec.pseudo_masks_from_scores(
-                coord_h,
-                np.asarray(jax.device_get(msp_d)),
-                np.asarray(jax.device_get(ml_d)),
-                count_h,
-                seed=(self.cfg.get("seed") or 0) + self._host_step,
-                neighbors=neighbors,
-            )
-            # host copy of the TRAIN labels (post label-rename semantics:
-            # device_batch substitutes segment_known when present)
-            segment = np.asarray(input_dict.get("segment_known",
-                                                input_dict["segment"]))
-            segment_pseudo = np.where(masks, rec.num_classes, segment)
-            from ..parallel.mesh import shard_batch
-
-            batch["segment_pseudo"] = shard_batch(
-                {"segment_pseudo": segment_pseudo}, self.mesh
-            )["segment_pseudo"]
-            # surfaced via InformationWriter so runs (and the CLI
-            # convergence proof) can see the pseudo-labeling fire
-            valid = np.asarray(jax.device_get(batch["mask"]))
-            pseudo_flagged = float(masks[valid].mean()) if valid.any() else 0.0
-
+    #
+    # Pseudo-labeling pipeline (one-batch delay): the jitted train step
+    # for batch t-1 is dispatched right after the score pass for batch t,
+    # so the device crunches t-1's fwd+bwd WHILE the host fetches t's two
+    # score sheets and runs the graph stage (mean-shift -> MST -> GMM ->
+    # CC).  Semantically this only makes the scores one optimizer update
+    # staler than the reference's in-step computation — blessed by the
+    # same argument as its async joblib usage.  Neighbor tables are lazy
+    # cKDTree rows (LazyNeighborTable): the chain reads ~2% of the cloud.
+    def _dispatch_train(self, batch, rec_w, pseudo_flagged=None):
         rng = jax.random.fold_in(self._base_rng, self._host_step + 1)
         self.state, out = self._train_step(
             self.state, batch, rng, jnp.asarray(rec_w, jnp.float32)
@@ -632,6 +593,66 @@ class OpenSegTrainer(Trainer):
             out["pseudo_flagged"] = pseudo_flagged
         self.comm_info["model_output_dict"] = out
         self.comm_info["lr"] = float(self.scheduler(max(self._host_step - 1, 0)))
+
+    def _flush_pending(self):
+        if getattr(self, "_pending", None) is not None:
+            batch, rec_w, flagged = self._pending
+            self._pending = None
+            self._dispatch_train(batch, rec_w, flagged)
+
+    def _call_hooks(self, stage: str) -> None:
+        # evaluation/checkpointing must see the fully-trained state
+        if stage in ("after_epoch", "after_train"):
+            self._flush_pending()
+        super()._call_hooks(stage)
+
+    def run_step(self):
+        input_dict = self.comm_info["input_dict"]
+        batch = self.device_batch(input_dict)
+        if self.state is None:
+            self.initialize_state(batch)
+            self._host_step = int(jax.device_get(self.state.step))
+
+        rec = self.recognizer
+        rec.set_epoch(self.epoch)
+        rec_w = rec.loss_weight(self.epoch)
+        if not (getattr(rec, "has_pseudo_labeling", False)
+                and rec.needs_pseudo(self.epoch)):
+            self._dispatch_train(batch, rec_w)
+            return
+
+        # 1. device: score pass for THIS batch (queued before the pending
+        #    train step, so its results are ready first)
+        msp_d, ml_d = self._pseudo_forward(self.state, batch)
+        # 2. device: train step for the PREVIOUS batch (mask ready)
+        self._flush_pending()
+        # 3. host: fetch scores + graph stage, overlapped with step 2
+        coord_h = np.asarray(input_dict["coord"], np.float32)
+        count_h = np.asarray(input_dict["count"])
+        masks = rec.pseudo_masks_from_scores(
+            coord_h,
+            np.asarray(jax.device_get(msp_d)),
+            np.asarray(jax.device_get(ml_d)),
+            count_h,
+            seed=(self.cfg.get("seed") or 0) + self._host_step,
+            neighbors=None,
+            ball_radius=self._host_radii(coord_h, count_h),
+        )
+        # host copy of the TRAIN labels (post label-rename semantics:
+        # device_batch substitutes segment_known when present)
+        segment = np.asarray(input_dict.get("segment_known",
+                                            input_dict["segment"]))
+        segment_pseudo = np.where(masks, rec.num_classes, segment)
+        from ..parallel.mesh import shard_batch
+
+        batch["segment_pseudo"] = shard_batch(
+            {"segment_pseudo": segment_pseudo}, self.mesh
+        )["segment_pseudo"]
+        # surfaced via InformationWriter so runs (and the CLI
+        # convergence proof) can see the pseudo-labeling fire
+        valid = np.asarray(jax.device_get(batch["mask"]))
+        flagged = float(masks[valid].mean()) if valid.any() else 0.0
+        self._pending = (batch, rec_w, flagged)
 
     def train(self):
         if self.eval_only:

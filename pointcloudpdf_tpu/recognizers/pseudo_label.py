@@ -119,6 +119,56 @@ def host_ball_query(coord: np.ndarray, radius: float, k: int) -> np.ndarray:
     return np.where(np.isfinite(dist), idx, -1).astype(np.int64)
 
 
+class LazyNeighborTable:
+    """(N, k) ball-query table whose rows materialize on first read.
+
+    The pseudo-labeling chain only ever reads neighbor rows of the grown
+    region (``neighbors[graph_idx]`` during growth, ``neighbors[node]``
+    for the MST) — typically 1-3% of the cloud — yet the eager
+    :func:`host_ball_query` pays a full-cloud k-NN query (~470 ms for
+    4x32k points on this 1-core host, the dominant term of the round-4
+    PDF step).  Row values are produced by the exact same cKDTree query,
+    so materialized rows are bit-identical to the eager table's and the
+    golden-parity masks are unchanged.
+    """
+
+    def __init__(self, coord: np.ndarray, radius: float, k: int):
+        from scipy.spatial import cKDTree
+
+        self.coord = np.ascontiguousarray(coord)
+        self.radius = float(radius)
+        self.k = int(k)
+        n = len(coord)
+        self.shape = (n, self.k)
+        self._tree = cKDTree(self.coord) if n else None
+        self._rows = np.full((n, self.k), -1, np.int64)
+        self._filled = np.zeros(n, bool)
+
+    def __len__(self):
+        return self.shape[0]
+
+    def _materialize(self, idx: np.ndarray):
+        miss = np.unique(idx[~self._filled[idx]])
+        if miss.size == 0:
+            return
+        dist, nn = self._tree.query(
+            self.coord[miss], k=self.k, distance_upper_bound=self.radius
+        )
+        if self.k == 1:
+            dist, nn = dist[:, None], nn[:, None]
+        self._rows[miss] = np.where(np.isfinite(dist), nn, -1)
+        self._filled[miss] = True
+
+    def __getitem__(self, idx):
+        idx = np.asarray(idx)
+        if idx.ndim == 0:
+            idx = idx[None]
+            self._materialize(idx)
+            return self._rows[idx[0]]
+        self._materialize(idx.ravel())
+        return self._rows[idx]
+
+
 def pseudo_labeling(
     coord: np.ndarray,          # (N, 3)
     seg_logits: Optional[np.ndarray],   # (N, K); None when scores given
@@ -265,18 +315,22 @@ def pseudo_labeling_batch(
 ) -> np.ndarray:
     """Padded batch -> (B, N) bool mask; parallel over batch items
     (reference joblib(4), pointpdf_v1m1_base.py:161-174).  When
-    ``neighbors`` is None the table is built host-side per sample
-    (:func:`host_ball_query`, radius ``ball_radius``, cap ``ball_k``)."""
+    ``neighbors`` is None a :class:`LazyNeighborTable` is built per sample
+    (radius ``ball_radius`` — scalar or per-sample (B,) array, cap
+    ``ball_k``) whose rows materialize only where the graph chain reads
+    them."""
     from joblib import Parallel, delayed
 
     B, N = coord.shape[:2]
     if neighbors is None:
         assert ball_radius is not None
+    radii = np.broadcast_to(np.asarray(ball_radius, np.float64), (B,)) \
+        if ball_radius is not None else None
 
     def one(i):
         c = int(count[i])
         nbr = (neighbors[i, :c] if neighbors is not None else
-               host_ball_query(coord[i, :c], ball_radius, ball_k))
+               LazyNeighborTable(coord[i, :c], radii[i], ball_k))
         m = pseudo_labeling(
             coord[i, :c],
             None if seg_logits is None else seg_logits[i, :c],

@@ -34,6 +34,26 @@ def test_host_ball_query_matches_bruteforce():
             assert set(got) == set(inside)
 
 
+def test_lazy_neighbor_table_matches_eager():
+    """Lazy rows must be bit-identical to the eager full-table query, in
+    any access order, including duplicate and scalar indices."""
+    from pointcloudpdf_tpu.recognizers.pseudo_label import LazyNeighborTable
+
+    rng = np.random.RandomState(4)
+    coord = rng.rand(400, 3).astype(np.float32)
+    radius, k = 0.2, 10
+    want = host_ball_query(coord, radius, k)
+    lazy = LazyNeighborTable(coord, radius, k)
+    assert lazy.shape == want.shape
+    # scattered reads with repeats, then 2-D index arrays, then full scan
+    idx = rng.randint(0, 400, size=50)
+    np.testing.assert_array_equal(lazy[idx], want[idx])
+    np.testing.assert_array_equal(lazy[np.int64(7)], want[7])
+    two_d = idx[:20].reshape(4, 5)
+    np.testing.assert_array_equal(lazy[two_d], want[two_d])
+    np.testing.assert_array_equal(lazy[np.arange(400)], want)
+
+
 def test_scores_path_equals_logits_path():
     rng = np.random.RandomState(1)
     n, c = 600, 8
