@@ -33,6 +33,7 @@ class EncoderStage(nn.Module):
     stride: int
     nsample: int
     dtype: Any = jnp.float32
+    fps_group_steps: int = 64
 
     @nn.compact
     def __call__(self, pts: Points, train: bool = True):
@@ -42,6 +43,7 @@ class EncoderStage(nn.Module):
 
         pts = TransitionDown(
             self.in_planes, self.planes, self.stride, self.nsample,
+            fps_group_steps=self.fps_group_steps,
             dtype=self.dtype, name="down"
         )(pts, train)
         # one kNN table per stage: coords are fixed after the down step
@@ -106,6 +108,9 @@ class PointTransformerSeg(nn.Module):
     in_channels: int = 6
     num_classes: int = 13
     amp: bool = False
+    # blocked-FPS group size; a value >= N/4 forces exact sequential FPS
+    # (the reference kernel's semantics) — used by the golden parity test
+    fps_group_steps: int = 64
 
     @nn.compact
     def __call__(self, input_dict: Dict, train: bool = True
@@ -126,6 +131,7 @@ class PointTransformerSeg(nn.Module):
             pts, nbr = EncoderStage(
                 in_planes, planes[level], self.blocks[level],
                 STRIDES[level], NSAMPLES[level], dtype=dtype,
+                fps_group_steps=self.fps_group_steps,
                 name=f"enc{level + 1}",
             )(pts, train)
             in_planes = planes[level]

@@ -109,6 +109,22 @@ def blocked_farthest_point_sampling(
     k_g = m // G
     g_size = N // G  # static window width; always >= ceil(v/G)
 
+    if G == 1:
+        # single group: exact sequential FPS in the reference kernel's
+        # order — start at the first point, no morton shuffle (parity
+        # with sampling_cuda_kernel.cu:39 ``idx[start_m] = start_n``;
+        # valid points are a prefix under the padded-batch contract, so
+        # index 0 is the segment-first point)
+        idx = farthest_point_sampling(coord, m, mask)
+        valid = mask[idx]
+        sort_ord = jnp.argsort(idx)
+        idx_sorted = idx[sort_ord]
+        dup_sorted = jnp.concatenate(
+            [jnp.zeros((1,), bool), idx_sorted[1:] == idx_sorted[:-1]]
+        )
+        dup = jnp.zeros((m,), bool).at[sort_ord].set(dup_sorted)
+        return idx, valid & ~dup
+
     order = morton_sort_indices(coord, mask)          # (N,) valid-first
     sorted_coord = coord[order]
 

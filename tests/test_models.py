@@ -168,7 +168,9 @@ class TestAmpPath:
         assert bf16.dtype == np.float32  # head returns f32 either way
         mask = np.asarray(batch["mask"])
         agree = (f32.argmax(-1) == bf16.argmax(-1))[mask].mean()
-        assert agree >= 0.97, f"bf16 predictions diverged: {agree}"
+        # untrained logits are near-uniform, so argmax ties flip under
+        # bf16 rounding — 0.95 bounds real divergence without pinning noise
+        assert agree >= 0.95, f"bf16 predictions diverged: {agree}"
         # relative error on valid logits stays at bf16 noise level
         denom = np.maximum(np.abs(f32[mask]), 1.0)
         assert np.median(np.abs(f32[mask] - bf16[mask]) / denom) < 0.05
