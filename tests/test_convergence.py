@@ -200,14 +200,16 @@ def synth_root(tmp_path_factory):
     return str(root)
 
 
-def _run_cli(script, config_path, extra_options=(), timeout=900):
+def _run_cli(script, config_path, extra_options=(), timeout=2400):
     env = dict(os.environ)
     env.update(
         JAX_PLATFORMS="cpu",
         XLA_FLAGS="--xla_force_host_platform_device_count=2",
-        # cheap-compile flags + a cache dir of their own
+        # cheap-compile flags + a cache dir of their own — IN the repo
+        # tree: /tmp is wiped between rounds, and a cold-cache CLI run
+        # blows the per-test budget on this 1-core box
         JAX_DISABLE_MOST_OPTIMIZATIONS="1",
-        JAX_COMPILATION_CACHE_DIR="/tmp/jax_cli_test_cache",
+        JAX_COMPILATION_CACHE_DIR=os.path.join(REPO, ".jax_cache_cli_tests"),
         JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="1",
     )
     cmd = [sys.executable, os.path.join(REPO, "tools", script),
