@@ -35,6 +35,14 @@ import os as _os
 
 FUSED_ATTENTION = _os.environ.get("PCPDF_FUSED_ATTENTION", "auto")
 
+# HBM dtype of the fused kernel's gathered [k|v] feature payload — the
+# dominant byte stream of the whole network (bench: ~524 KB/pt f32).
+# "bfloat16" halves it; relative positions always stay f32 (computed
+# before the cast), and the kernel upcasts to f32 in VMEM for all
+# arithmetic.  "float32" restores bit-parity with the unfused path.
+FUSED_PAYLOAD_DTYPE = _os.environ.get("PCPDF_FUSED_PAYLOAD_DTYPE",
+                                      "bfloat16")
+
 
 def _bn_affine(bn: MaskedBatchNorm, c: int):
     """Fold an inference-mode BatchNorm into (scale, shift) by probing.
@@ -132,6 +140,9 @@ class PointTransformerLayer(nn.Module):
                     bn_w2.train_affine,
                     share_planes=self.share_planes,
                     interpret=(mode == "interpret"),
+                    payload_dtype=(jnp.bfloat16
+                                   if FUSED_PAYLOAD_DTYPE == "bfloat16"
+                                   else jnp.float32),
                 ).astype(self.dtype)
                 return jnp.where(mask[..., None], out, 0.0)
 
@@ -146,6 +157,9 @@ class PointTransformerLayer(nn.Module):
                 bnp_s, bnp_t, bnw1_s, bnw1_t, bnw2_s, bnw2_t,
                 share_planes=self.share_planes,
                 interpret=(mode == "interpret"),
+                payload_dtype=(jnp.bfloat16
+                               if FUSED_PAYLOAD_DTYPE == "bfloat16"
+                               else jnp.float32),
             ).astype(self.dtype)
             return jnp.where(mask[..., None], out, 0.0)
 

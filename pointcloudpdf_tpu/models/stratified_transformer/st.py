@@ -28,7 +28,7 @@ fixed kernel-point disposition.  Shifted windows alternate per block.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -303,8 +303,12 @@ class StratifiedWindowAttention(nn.Module):
             v_g = g[..., c:2 * c].astype(v.dtype)
             pos_g = g[..., 2 * c:]
 
-            qf = q_c.astype(jnp.float32)
-            logits = head_sum(qf[:, :, None, :] * scale
+            # the reference scales q ONCE before both the q.k term and
+            # the rel_query table dot (stratified_transformer_v1m1_
+            # origin.py:276-299: ``query = query * self.scale`` precedes
+            # attention_step1_v2 AND dot_prod_with_idx_v3)
+            qf = q_c.astype(jnp.float32) * scale
+            logits = head_sum(qf[:, :, None, :]
                               * k_g.astype(jnp.float32))     # (B, M, K, H)
 
             # quantized relative-position bins per axis (reference :283-296)
@@ -414,7 +418,9 @@ class STBlock(nn.Module):
         feat = shortcut + dpath(y)
         y = nn.LayerNorm(name="norm2")(feat)
         y = nn.Dense(int(self.dim * self.mlp_ratio), name="mlp_fc1")(y)
-        y = nn.gelu(y)
+        # exact erf GELU: torch nn.GELU's default (reference Mlp :126);
+        # flax's default is the tanh approximation
+        y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, name="mlp_fc2")(y)
         feat = feat + dpath(y)
         return jnp.where(mask[..., None], feat, 0.0)
@@ -428,13 +434,23 @@ class TransitionDown(nn.Module):
     out_channels: int
     ratio: float
     k: int
+    # max sequential FPS steps per morton block; raise above m for exact
+    # sequential FPS (the reference kernel's semantics)
+    fps_group_steps: int = 128
+    # True mirrors the reference's per-segment count ``int(n*ratio)+1``
+    # (stratified_transformer_v1m1_origin.py:161-166) exactly; False
+    # keeps the tile-aligned ``int(n*ratio)`` (off by one point in 1024,
+    # within the padded-buffer approximation)
+    exact_count: bool = False
 
     @nn.compact
     def __call__(self, feat, coord, mask, train: bool):
         n = coord.shape[1]
-        m = max(int(n * self.ratio), 1)
+        m = (int(n * self.ratio) + 1 if self.exact_count
+             else max(int(n * self.ratio), 1))
         idx, valid = jax.vmap(
-            lambda c, mk: blocked_farthest_point_sampling(c, m, mask=mk)
+            lambda c, mk: blocked_farthest_point_sampling(
+                c, m, mask=mk, max_group_steps=self.fps_group_steps)
         )(coord, mask)
         new_coord = jnp.take_along_axis(coord, idx[..., None], axis=1)
         nidx, nd2 = jax.vmap(
@@ -498,12 +514,20 @@ class StratifiedTransformer(nn.Module):
     kp_ball_radius: float = 0.02 * 2.5
     kp_max_neighbor: int = 34
     mlp_ratio: float = 4.0
-    # TPU-native capacities for the stratified key set
-    k_local: int = 32
-    k_sparse: int = 16
+    # TPU-native capacities for the stratified key set; an int applies
+    # to every layer, a sequence gives the capacity per layer index
+    k_local: Union[int, Sequence[int]] = 32
+    k_sparse: Union[int, Sequence[int]] = 16
+    # max sequential FPS steps per morton block; raise above the largest
+    # downsample count for exact sequential FPS (the reference kernel)
+    fps_group_steps: int = 128
+    # True mirrors the reference's downsample counts exactly
+    # (``n//scale + 1`` for stratified keys, ``int(n*ratio)+1`` in
+    # TransitionDown); False keeps tile-aligned counts
+    ref_exact_counts: bool = False
 
     def _key_sets_layer(self, coord, mask, window_size: float, depth: int,
-                        ds_idx, ds_valid):
+                        ds_idx, ds_valid, k_local: int, k_sparse: int):
         """Fixed-K stratified keys (same-small-window kNN + downsampled
         same-big-window kNN) for every shift parity a layer uses.
 
@@ -518,13 +542,13 @@ class StratifiedTransformer(nn.Module):
         of (key_idx, key_mask) indexed by shift parity.
         """
         idx_l, d_l = jax.vmap(
-            lambda c, m: knn(c, c, self.k_local, ref_mask=m)
+            lambda c, m: knn(c, c, k_local, ref_mask=m)
         )(coord, mask)
         fin_l = jnp.isfinite(d_l)
 
         ds_coord = jnp.take_along_axis(coord, ds_idx[..., None], axis=1)
         idx_s, d_s = jax.vmap(
-            lambda q, r, m: knn(q, r, self.k_sparse, ref_mask=m)
+            lambda q, r, m: knn(q, r, k_sparse, ref_mask=m)
         )(coord, ds_coord, ds_valid)
         fin_s = jnp.isfinite(d_s)
 
@@ -588,6 +612,8 @@ class StratifiedTransformer(nn.Module):
             intermediates["stem"] = (feat, coord, mask)
             feat, coord, mask = TransitionDown(
                 self.channels[0], self.channels[1], self.ratio, self.k,
+                fps_group_steps=self.fps_group_steps,
+                exact_count=self.ref_exact_counts,
                 name="stem_down",
             )(feat, coord, mask, train)
 
@@ -595,15 +621,23 @@ class StratifiedTransformer(nn.Module):
         skips = []
         for li, i in enumerate(range(layer_start, self.num_layers)):
             ws = self.window_size[i]
-            # FPS downsample set for stratified sparse keys
-            m = max(coord.shape[1] // self.downsample_scale, 1)
+            # FPS downsample set for stratified sparse keys (reference
+            # count: ``offset // downsample_scale + 1``, :491-498)
+            m = coord.shape[1] // self.downsample_scale
+            m = m + 1 if self.ref_exact_counts else max(m, 1)
             ds_idx, ds_valid = jax.vmap(
-                lambda c, mk: blocked_farthest_point_sampling(c, m, mask=mk)
+                lambda c, mk: blocked_farthest_point_sampling(
+                    c, m, mask=mk, max_group_steps=self.fps_group_steps)
             )(coord, mask)
             base = sum(self.depths[:i])
+
+            def cap(v):
+                return v[i] if isinstance(v, (list, tuple)) else v
+
             key_sets = self._key_sets_layer(
                 coord, mask, ws, self.depths[i],
                 ds_idx=ds_idx, ds_valid=ds_valid,
+                k_local=cap(self.k_local), k_sparse=cap(self.k_sparse),
             )
             for d in range(self.depths[i]):
                 key_idx, key_mask = key_sets[d % 2]
@@ -618,7 +652,8 @@ class StratifiedTransformer(nn.Module):
             if i < self.num_layers - 1:
                 feat, coord, mask = TransitionDown(
                     self.channels[i], self.channels[i + 1], self.ratio,
-                    self.k, name=f"down{i}",
+                    self.k, fps_group_steps=self.fps_group_steps,
+                    exact_count=self.ref_exact_counts, name=f"down{i}",
                 )(feat, coord, mask, train)
 
         # decoder: upsample through the skips; ``up{step}`` intermediates

@@ -117,9 +117,16 @@ def knn(
     #   0.9985-0.9998 vs exact, >= the approx path's).  Below N=8192 the
     #   single-chunk fold sheds same-group neighbors (recall < 0.99)
     #   while the approx path is already fast;
-    # - beyond 131072 the candidate scratch outgrows VMEM and the
-    #   linear-cost serialization-window path (knn_serial) takes over
-    #   (full-scene eval fragments run up to ~800k points).
+    # - beyond 131072 the candidate scratch outgrows the kernel's VMEM
+    #   budget, so the ref set is SPLIT into <=131072-row parts, the
+    #   pruned kernel runs per part, and the per-part top-k merge is
+    #   exact (the union of part candidates == the full candidate set,
+    #   so recall stays at the kernel's ~0.995 — the round-4 handoff to
+    #   knn_serial here measured 0.9172 at 160k refs, an 8% silent
+    #   neighbor error for outdoor buckets);
+    # - past 4 parts (~524k refs) the linear-cost serialization-window
+    #   path (knn_serial) takes over (full-scene eval fragments run up
+    #   to ~800k points).
     # Geometry consumers mask by validity, so a sub-1% neighbor swap is
     # within the padding noise.
     if FORCE_KNN_PATH == "serial":
@@ -136,6 +143,9 @@ def knn(
             return idx.astype(jnp.int32), -neg_d
         return _knn_chunked(query, ref, k, ref_mask, chunk_size, query_tile)
     if jax.default_backend() == "tpu" and N > 131072:
+        n_parts = -(-N // 131072)
+        if n_parts <= 4 and k <= 64:
+            return _knn_pallas_split(query, ref, k, ref_mask, n_parts)
         return knn_serial(query, ref, k, ref_mask)
     if jax.default_backend() == "tpu" and 8192 <= N <= 131072 and k <= 64:
         from .pallas_knn import knn_pallas
@@ -157,6 +167,36 @@ def knn(
         return idx.astype(jnp.int32), -neg_d
 
     return _knn_chunked(query, ref, k, ref_mask, chunk_size, query_tile)
+
+
+def _knn_pallas_split(query, ref, k, ref_mask, n_parts: int):
+    """Exact-merge split dispatch for ref sets past the fused kernel's
+    131072-row candidate-scratch budget: the refs split into ``n_parts``
+    equal slices, the bound-pruned Pallas kernel (ops/pallas_knn.py)
+    runs per slice, and the slice top-ks merge by distance.  The union
+    of slice candidate sets is the full ref set, so recall equals the
+    kernel's own (~0.995) instead of knn_serial's curve-window recall.
+    """
+    from .pallas_knn import knn_pallas
+
+    N = ref.shape[0]
+    part = -(-N // n_parts)
+    pad = part * n_parts - N
+    ref_p = jnp.pad(ref, ((0, pad), (0, 0)))
+    mask_p = jnp.pad(ref_mask, (0, pad))          # pad rows invalid
+    best_d = best_i = None
+    for p in range(n_parts):
+        idx, d2 = knn_pallas(query, ref_p[p * part:(p + 1) * part], k,
+                             mask_p[p * part:(p + 1) * part])
+        idx = idx + p * part
+        if best_d is None:
+            best_d, best_i = d2, idx
+        else:
+            best_d, best_i = _merge_topk(best_d, best_i, d2, idx, k)
+    # slots past the valid candidates carry +inf dist2; clamp their idx
+    # into range so downstream gathers stay in bounds
+    best_i = jnp.minimum(best_i, N - 1).astype(jnp.int32)
+    return best_i, jax.lax.stop_gradient(best_d)
 
 
 def _knn_chunked(query, ref, k, ref_mask, chunk_size, query_tile):

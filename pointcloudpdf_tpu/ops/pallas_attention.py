@@ -12,9 +12,15 @@ is squarely HBM-bound (BASELINE.md attribution: ~78 ms/batch).
 This kernel keeps the entire post-projection chain in VMEM:
 
 - the caller gathers ONE combined neighbor payload ``G = S[idx]`` where
-  ``S = [x_k | x_v | coord | valid-flag]`` (+1 sentinel row whose flag
-  is 0 — masked neighbor slots redirect to it, so the validity mask
-  rides the gather instead of a separate (M, K) operand);
+  ``S = [x_k | x_v | coord_hi | coord_lo | valid-flag]`` (+1 sentinel
+  row whose flag is 0 — masked neighbor slots redirect to it, so the
+  validity mask rides the gather instead of a separate (M, K) operand).
+  Inference payloads are **bfloat16** — the dominant HBM stream halves;
+  coords ride as a bf16 hi/lo split that recombines to ~16 mantissa
+  bits in f32, so relative positions never feel the quantization, and
+  the single-gather structure is preserved (TPU gather cost scales
+  with row count — a separate coord gather measured SLOWER than the
+  f32 single-gather baseline despite fewer bytes);
 - per query tile the kernel runs: relative-position MLP (3->3->C with a
   folded inference BatchNorm affine), the subtraction relation, the
   weight MLP (C->G->G, two folded affines), the masked softmax over the
@@ -49,20 +55,23 @@ def _attn_kernel(g_ref, q_ref, qc_ref, p1_ref, p2_ref, w1_ref, w2_ref,
                  aff_ref, out_ref, *, c: int, k: int, groups: int,
                  tile_q: int):
     """g_ref: (TQ*K, Cg_pad) combined gathered payload
-    [k_g | v_g | coord(3) | flag(1) | pad]; q_ref: (TQ, C) queries;
-    qc_ref: (TQ, 8) query coords (xyz + pad); p1_ref: (4, 3) = [W; b] of
-    linear_p1; p2_ref: (4, C) = [W; b] of linear_p2; w1_ref: (C+1, G);
-    w2_ref: (G+1, G); aff_ref: (6, C) folded BN affines, rows
-    [p_scale(3-lane), p_shift, w1_scale(C), w1_shift, w2_scale(G),
-    w2_shift]; out_ref: (TQ, C)."""
+    [k_g | v_g | coord_hi(3) | coord_lo(3) | flag(1) | pad] — f32 or
+    bf16; bf16 payloads carry coords as a hi/lo split (hi = bf16-rounded
+    coord, lo = residual), whose f32 recombination keeps ~16 mantissa
+    bits so relative positions never feel the bf16 quantization.
+    q_ref: (TQ, C) queries; qc_ref: (TQ, 8) query coords (xyz + pad);
+    p1_ref: (4, 3) = [W; b] of linear_p1; p2_ref: (4, C) = [W; b] of
+    linear_p2; w1_ref: (C+1, G); w2_ref: (G+1, G); aff_ref: (6, C)
+    folded BN affines, rows [p_scale(3-lane), p_shift, w1_scale(C),
+    w1_shift, w2_scale(G), w2_shift]; out_ref: (TQ, C)."""
     share = c // groups
     tk = tile_q * k
 
-    g = g_ref[:, :]
+    g = g_ref[:, :].astype(jnp.float32)
     k_g = g[:, :c]                                        # (TK, C)
     v_g = g[:, c:2 * c]                                   # (TK, C)
-    p_rel_full = g[:, 2 * c:2 * c + 3]                    # (TK, 3)
-    flag = g[:, 2 * c + 3:2 * c + 4]                      # (TK, 1)
+    p_rel_full = g[:, 2 * c:2 * c + 3] + g[:, 2 * c + 3:2 * c + 6]
+    flag = g[:, 2 * c + 6:2 * c + 7]                      # (TK, 1)
 
     # broadcast queries over the K minor sublane axis
     q = q_ref[:, :]                                       # (TQ, C)
@@ -127,19 +136,30 @@ def _pick_tile(k: int, cg_pad: int, budget: int = 1 << 20) -> int:
     return tq
 
 
-def _build_payload(x_k, x_v, coord, idx, nmask):
+def _build_payload(x_k, x_v, coord, idx, nmask, dtype=jnp.float32):
     """Combined gathered neighbor payload ``G = S[idx]`` with
-    ``S = [x_k | x_v | coord | valid-flag]`` and a zero sentinel row per
-    sample (masked slots redirect there, so masked rows are all-zero with
-    flag 0).  Returns ``(payload (B*N*K, Cg_pad), cg_pad)``."""
+    ``S = [x_k | x_v | coord_hi | coord_lo | valid-flag]`` and a zero
+    sentinel row per sample (masked slots redirect there, so masked rows
+    are all-zero with flag 0).  ONE gather: the TPU gather cost scales
+    with row count (scalar-unit dispatch) as much as bytes, so coords
+    ride the feature payload instead of a second gather.  For a bf16
+    payload the coords are hi/lo split (both bf16-exact), recombining to
+    ~16 mantissa bits in the kernel; f32 payloads store (coord, 0).
+    Returns ``(payload (B*N*K, Cg_pad) dtype, cg_pad)``."""
     b, n, c = x_k.shape
-    cg = 2 * c + 4
+    cg = 2 * c + 7
     cg_pad = _round_up(cg, _LANE)
     flag = jnp.ones((b, n, 1), jnp.float32)
+    coord = coord.astype(jnp.float32)
+    if dtype == jnp.float32:
+        hi, lo = coord, jnp.zeros_like(coord)
+    else:
+        hi = coord.astype(dtype).astype(jnp.float32)
+        lo = coord - hi
     src = jnp.concatenate(
-        [x_k.astype(jnp.float32), x_v.astype(jnp.float32),
-         coord.astype(jnp.float32), flag], axis=-1)
-    src = jnp.pad(src, ((0, 0), (0, 1), (0, cg_pad - cg)))
+        [x_k.astype(jnp.float32), x_v.astype(jnp.float32), hi, lo, flag],
+        axis=-1)
+    src = jnp.pad(src, ((0, 0), (0, 1), (0, cg_pad - cg))).astype(dtype)
     src = src.reshape(b * (n + 1), cg_pad)
     safe_idx = jnp.where(nmask, idx, n)                    # sentinel
     offs = (jnp.arange(b, dtype=jnp.int32) * (n + 1))[:, None, None]
@@ -148,7 +168,8 @@ def _build_payload(x_k, x_v, coord, idx, nmask):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("share_planes", "interpret", "tile_q"))
+    jax.jit,
+    static_argnames=("share_planes", "interpret", "tile_q", "payload_dtype"))
 def fused_vector_attention(
     x_q: jnp.ndarray,
     x_k: jnp.ndarray,
@@ -166,14 +187,16 @@ def fused_vector_attention(
     share_planes: int = 8,
     interpret: bool = False,
     tile_q: int = 0,
+    payload_dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
     """Fused inference vector attention over batched padded samples.
 
     x_q/x_k: (B, N, C); x_v: (B, N, C); coord: (B, N, 3); idx: (B, N, K)
     int32 per-sample neighbor rows; nmask: (B, N, K) bool.  Returns
-    (B, N, C) == the unfused masked-attention output (query-invalid rows
-    are whatever the softmax guard produces — callers mask them, as the
-    unfused path does).
+    (B, N, C) == the unfused masked-attention output up to the
+    ``payload_dtype`` rounding of k/v (query-invalid rows are whatever
+    the softmax guard produces — callers mask them, as the unfused path
+    does).
     """
     _ensure_pallas()
     from jax.experimental.pallas import tpu as pltpu
@@ -181,7 +204,8 @@ def fused_vector_attention(
     b, n, c = x_q.shape
     k = idx.shape[-1]
     groups = c // share_planes
-    payload, cg_pad = _build_payload(x_k, x_v, coord, idx, nmask)
+    payload, cg_pad = _build_payload(x_k, x_v, coord, idx, nmask,
+                                     dtype=payload_dtype)
 
     tq = tile_q or _pick_tile(k, cg_pad)
     m = b * n
@@ -282,11 +306,11 @@ def _attn_bwd_kernel(g_ref, q_ref, qc_ref, p1_ref, p2_ref, w1_ref, w2_ref,
                              preferred_element_type=jnp.float32)
 
     # ---- forward recompute (mirrors _attn_kernel) ----------------------
-    g = g_ref[:, :]
+    g = g_ref[:, :].astype(jnp.float32)
     k_g = g[:, :c]
     v_g = g[:, c:2 * c]
-    p_rel_full = g[:, 2 * c:2 * c + 3]
-    flag = g[:, 2 * c + 3:2 * c + 4]
+    p_rel_full = g[:, 2 * c:2 * c + 3] + g[:, 2 * c + 3:2 * c + 6]
+    flag = g[:, 2 * c + 6:2 * c + 7]
 
     q = q_ref[:, :]
     q_b = jnp.broadcast_to(q[:, None, :], (tile_q, k, c)).reshape(tk, c)
@@ -374,9 +398,12 @@ def _attn_bwd_kernel(g_ref, q_ref, qc_ref, p1_ref, p2_ref, w1_ref, w2_ref,
 
     # ---- writes ---------------------------------------------------------
     cg_pad = g.shape[1]
+    # dp_rel lands on the coord_hi slot (lo is a constant in the build,
+    # so the full positional cotangent routes through hi)
     dg_ref[:, :] = jnp.concatenate(
         [dk_g, dv_pe, dp_rel,
-         jnp.zeros((tk, cg_pad - 2 * c - 3), jnp.float32)], axis=1)
+         jnp.zeros((tk, cg_pad - 2 * c - 3), jnp.float32)],
+        axis=1).astype(dg_ref.dtype)
     dq_ref[:, :] = dq_tile
     dqc_ref[:, :] = jnp.concatenate(
         [dqc_tile, jnp.zeros((tile_q, 5), jnp.float32)], axis=1)
@@ -409,7 +436,7 @@ def _attention_core_bwd(interpret, tq, res, dout):
     grid_n = m_pad // tq
 
     out_shapes = (
-        jax.ShapeDtypeStruct((m_pad * k, cg_pad), jnp.float32),   # dg
+        jax.ShapeDtypeStruct((m_pad * k, cg_pad), payload.dtype),  # dg
         jax.ShapeDtypeStruct((m_pad, c), jnp.float32),            # dq
         jax.ShapeDtypeStruct((m_pad, 8), jnp.float32),            # dqc
         jax.ShapeDtypeStruct((grid_n, 4, 3), jnp.float32),        # dp1
@@ -466,8 +493,8 @@ def attention_train_stats(payload, q2, qc, p1, p2, w1, k, c,
     """
     m_pad = q2.shape[0]
     groups = w1.shape[1]
-    g3 = payload.reshape(m_pad, k, -1)
-    flag = g3[..., 2 * c + 3:2 * c + 4]                    # (m, k, 1)
+    g3 = payload.reshape(m_pad, k, -1).astype(jnp.float32)
+    flag = g3[..., 2 * c + 6:2 * c + 7]                    # (m, k, 1)
     cnt = jnp.maximum(jnp.sum(flag), 1.0)
 
     def mstats(x):
@@ -476,7 +503,8 @@ def attention_train_stats(payload, q2, qc, p1, p2, w1, k, c,
             - jnp.square(mean)
         return mean, var
 
-    p_rel = g3[..., 2 * c:2 * c + 3] - qc[:, None, :3]
+    p_rel = (g3[..., 2 * c:2 * c + 3] + g3[..., 2 * c + 3:2 * c + 6]
+             - qc[:, None, :3])
     z1 = jnp.einsum("mki,ij->mkj", p_rel, p1[:3]) + p1[3]
     sp, tp_ = bn_p_affine(*mstats(z1), cnt)
 
@@ -501,6 +529,7 @@ def fused_vector_attention_train(
     p1_w, p1_b, p2_w, p2_b, w1_w, w1_b, w2_w, w2_b,
     bn_p_affine, bn_w1_affine, bn_w2_affine,
     share_planes: int = 8, interpret: bool = False, tile_q: int = 0,
+    payload_dtype=jnp.float32,
 ):
     """Training-mode fused vector attention: exact masked-batch-stat
     BatchNorms (stats in XLA, normalization folded into the kernel's
@@ -510,10 +539,19 @@ def fused_vector_attention_train(
     The gather (and therefore its scatter-add backward) lives in plain
     XLA outside the custom VJP.  Not jitted here — callers are flax
     modules already under jit, and the BN callbacks touch module state.
+
+    A bf16 ``payload_dtype`` halves the step's dominant byte streams —
+    the gathered payload (read by the stats pass, the forward kernel and
+    the backward recompute), the VJP residual that holds it, and the
+    payload-shaped ``dg`` cotangent — at the usual bf16 training cost:
+    k/v features and their gradient accumulation carry ~2^-8 rounding
+    (coords stay exact via the hi/lo split; all kernel arithmetic is
+    f32 in VMEM).
     """
     b, n, c = x_q.shape
     k = idx.shape[-1]
-    payload, cg_pad = _build_payload(x_k, x_v, coord, idx, nmask)
+    payload, cg_pad = _build_payload(x_k, x_v, coord, idx, nmask,
+                                     dtype=payload_dtype)
     # backward holds ~3x the forward's live temporaries per tile
     tq = tile_q or _pick_tile(k, cg_pad, budget=1 << 19)
     m = b * n

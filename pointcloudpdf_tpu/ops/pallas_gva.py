@@ -13,8 +13,12 @@ This kernel keeps the post-gather chain in VMEM per query tile:
 
 - the caller computes the q/k MLPs and v projection at (B, N, C) in XLA
   (point-level work, no S axis) and gathers ONE combined payload
-  ``G = S[idx]`` with ``S = [k | v | coord | valid-flag]`` + sentinel
-  row — identical contract to the sibling kernels;
+  ``G = S[idx]`` with ``S = [k | v | coord_hi | coord_lo | valid-flag]``
+  + sentinel row — identical contract to the sibling kernels.  Inference
+  payloads are **bfloat16** (the dominant HBM stream halves; coords ride
+  as a bf16 hi/lo split recombining to ~16 mantissa bits in f32, and the
+  single-gather structure is preserved — TPU gather cost scales with row
+  count, so a separate coord gather measured slower);
 - per tile: relative positions, the pe_bias / pe_multiplier MLPs
   (inference BatchNorms folded to probed affines), the subtraction
   relation, the grouped weight encoding, the masked softmax over S, and
@@ -42,7 +46,8 @@ def _gva_kernel(g_ref, q_ref, qc_ref, pb1_ref, pb2_ref, pm1_ref, pm2_ref,
                 we1_ref, we2_ref, aff_ref, selt_ref, out_ref, *, c: int,
                 k: int, groups: int, tile_q: int, pe_mul: bool,
                 pe_bias: bool):
-    """g_ref: (TQ*K, Cg_pad) payload [k_g | v_g | coord(3) | flag | pad];
+    """g_ref: (TQ*K, Cg_pad) payload [k_g | v_g | coord_hi(3) |
+    coord_lo(3) | flag | pad] (f32 or bf16 — upcast on read);
     q_ref: (TQ, C); qc_ref: (TQ, 8); pb1/pm1: (4, C) = [W(3,C); b];
     pb2/pm2: (C+1, C) = [W; b]; we1: (C+1, G); we2: (G+1, G);
     aff_ref: (6, C) folded BN affines, rows [peb1_s, peb1_t, pem1_s,
@@ -50,11 +55,11 @@ def _gva_kernel(g_ref, q_ref, qc_ref, pb1_ref, pb2_ref, pm1_ref, pm2_ref,
     (row g -> channels of group g); out_ref: (TQ, C)."""
     tk = tile_q * k
 
-    g = g_ref[:, :]
+    g = g_ref[:, :].astype(jnp.float32)
     k_g = g[:, :c]
     v_g = g[:, c:2 * c]
-    pos = g[:, 2 * c:2 * c + 3]
-    flag = g[:, 2 * c + 3:2 * c + 4]
+    pos = g[:, 2 * c:2 * c + 3] + g[:, 2 * c + 3:2 * c + 6]
+    flag = g[:, 2 * c + 6:2 * c + 7]
 
     q = q_ref[:, :]
     q_b = jnp.broadcast_to(q[:, None, :], (tile_q, k, c)).reshape(tk, c)
@@ -124,7 +129,8 @@ def _pick_tile(k: int, cg_pad: int, budget: int = 768 * 1024) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "groups", "pe_mul", "pe_bias", "interpret", "tile_q"))
+    "groups", "pe_mul", "pe_bias", "interpret", "tile_q",
+    "payload_dtype"))
 def fused_grouped_vector_attention(
     q: jnp.ndarray,
     x_k: jnp.ndarray,
@@ -141,6 +147,7 @@ def fused_grouped_vector_attention(
     pe_bias: bool = True,
     interpret: bool = False,
     tile_q: int = 0,
+    payload_dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
     """Fused inference GVA over batched padded samples.
 
@@ -155,15 +162,21 @@ def fused_grouped_vector_attention(
 
     b, n, c = q.shape
     k = idx.shape[-1]
-    cg = 2 * c + 4
+    cg = 2 * c + 7
     cg_pad = _round_up(cg, _LANE)
 
     flag = jnp.ones((b, n, 1), jnp.float32)
+    coordf = coord.astype(jnp.float32)
+    if payload_dtype == jnp.float32:
+        hi, lo = coordf, jnp.zeros_like(coordf)
+    else:
+        hi = coordf.astype(payload_dtype).astype(jnp.float32)
+        lo = coordf - hi
     src = jnp.concatenate(
-        [x_k.astype(jnp.float32), x_v.astype(jnp.float32),
-         coord.astype(jnp.float32), flag], axis=-1)
+        [x_k.astype(jnp.float32), x_v.astype(jnp.float32), hi, lo, flag],
+        axis=-1)
     src = jnp.pad(src, ((0, 0), (0, 1), (0, cg_pad - cg)))
-    src = src.reshape(b * (n + 1), cg_pad)
+    src = src.astype(payload_dtype).reshape(b * (n + 1), cg_pad)
 
     safe_idx = jnp.where(nmask, idx, n)                   # sentinel
     offs = (jnp.arange(b, dtype=jnp.int32) * (n + 1))[:, None, None]

@@ -7,8 +7,10 @@ the (M, N) distance matrix round-trips HBM, pinning a 32k self-kNN at
 lets a distance block leave VMEM:
 
 - per query tile (256 rows) the kernel loops ref chunks (2048 cols);
-  the cross term rides the MXU (coords padded 3 -> 8 columns) and the
-  chunk's distance block lives only in VMEM;
+  distances are EXACT f32 broadcasted outer differences on the VPU (a
+  K=8 MXU cross term runs the systolic array at 6% utilization, and
+  its split-f32 compensation tripled that cost — measured 2-3x slower
+  than the VPU form) and the chunk's distance block lives only in VMEM;
 - each (value, ref index) pair packs into ONE f32 — the index replaces
   the low mantissa bits, and IEEE ordering of non-negative floats makes
   min-reductions carry the index for free (same trick as the XLA path);
@@ -46,29 +48,22 @@ def _knn_kernel(q_ref, ref_ref, r2_ref, out_ref, buf_ref, *, k: int,
     buf_ref: (TILE_Q, n_chunks * chunk/group) f32 VMEM scratch."""
     idx_mask = jnp.int32((1 << idx_bits) - 1)
     q = q_ref[:, :]                                        # (T, 8)
-    # split-f32 cross term: Mosaic's default MXU pass truncates to
-    # bf16 (8 mantissa bits), which reorders near-tie neighbors and
-    # costs ~15pts of recall; Precision.HIGHEST (6 passes) restores
-    # it but measures +22 ms/batch.  3 passes (hi*hi + hi*lo + lo*hi)
-    # recover all but the |lo|^2 ~ 2^-16 relative term — and dropping
-    # the same |lo|^2 term from ||q||^2 (here) and ||r||^2 (in the
-    # wrapper) makes the self-distance cancel exactly.
-    q_hi = q.astype(jnp.bfloat16).astype(jnp.float32)
-    q_lo = q - q_hi
-    q2 = jnp.sum(q * q - q_lo * q_lo, axis=1, keepdims=True)  # (T, 1)
     per_chunk = chunk // group
 
     def chunk_body(c, _):
         r_c = ref_ref[:, pl.ds(c * chunk, chunk)]          # (8, C)
-        r2_c = r2_ref[0:1, pl.ds(c * chunk, chunk)]        # (1, C)
-        r_hi = r_c.astype(jnp.bfloat16).astype(jnp.float32)
-        r_lo = r_c - r_hi
-        cross = jnp.dot(q_hi, r_hi, preferred_element_type=jnp.float32)
-        cross += jnp.dot(q_hi, r_lo, preferred_element_type=jnp.float32)
-        cross += jnp.dot(q_lo, r_hi, preferred_element_type=jnp.float32)
+        pen_c = r2_ref[0:1, pl.ds(c * chunk, chunk)]       # (1, C) penalty
+        # EXACT f32 distances on the VPU: the matmul identity needs a
+        # K=8 cross term — 6% MXU utilization — and split-f32 tripled
+        # it; three broadcasted outer differences are ~8x cheaper AND
+        # exact (self-distances cancel trivially).  Validity rides a
+        # 0-or-3e38 penalty row.
+        dx = q[:, 0:1] - r_c[0:1, :]
+        dy = q[:, 1:2] - r_c[1:2, :]
+        dz = q[:, 2:3] - r_c[2:3, :]
         # floor at a tiny NORMAL float: a zero distance would pack the
         # index into denormal bits, which flush-to-zero erases
-        d2 = jnp.maximum(q2 + r2_c - 2.0 * cross,
+        d2 = jnp.maximum(dx * dx + dy * dy + dz * dz + pen_c,
                          jnp.float32(1e-35))               # (T, C)
         col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1) + c * chunk
         bits = jax.lax.bitcast_convert_type(d2, jnp.int32)
@@ -111,33 +106,31 @@ def _knn_kernel_pruned(order_ref, lb_ref, ref_ref, q_ref, out_ref, buf_ref,
     chunk with bound > tau is skipped (its candidate slot is stamped
     +inf), which prunes the O(M*N) distance work to the query's spatial
     neighborhood without any recall change — the bound test is geometric
-    and conservatively margined against the kernel's packed-mantissa and
-    split-bf16 arithmetic.
+    and conservatively margined against the kernel's packed-mantissa
+    truncation (distances themselves are exact f32 VPU differences).
 
     order_ref: (n_tiles, n_chunks) i32 SMEM (whole array — SMEM
     blocks must keep their trailing dims, so the kernel rows are indexed
     by program_id); lb_ref: (n_tiles, n_chunks) f32 SMEM;
-    ref_ref: (n_chunks, 8, chunk) f32 [x;y;z;||r||^2;0..]; q_ref:
+    ref_ref: (n_chunks, 8, chunk) f32 [x;y;z;penalty(0|3e38);0..]; q_ref:
     (tile_q, 8); out_ref: (tile_q, out_pad); buf_ref: (tile_q,
     n_chunks * chunk/group) VMEM scratch; tau_ref: (1, 1) f32 SMEM."""
     idx_mask = jnp.int32((1 << idx_bits) - 1)
     per_chunk = chunk // group
     tile = pl.program_id(0)
     q = q_ref[:, :]
-    q_hi = q.astype(jnp.bfloat16).astype(jnp.float32)
-    q_lo = q - q_hi
-    q2 = jnp.sum(q * q - q_lo * q_lo, axis=1, keepdims=True)
 
     def process(ci, slot):
         blk = ref_ref[ci]                                  # (8, C)
-        r2_c = blk[3:4, :]
-        blk_hi = blk.astype(jnp.bfloat16).astype(jnp.float32)
-        blk_lo = blk - blk_hi
-        # q cols 3..7 are zero, so the r2 row rides along harmlessly
-        cross = jnp.dot(q_hi, blk_hi, preferred_element_type=jnp.float32)
-        cross += jnp.dot(q_hi, blk_lo, preferred_element_type=jnp.float32)
-        cross += jnp.dot(q_lo, blk_hi, preferred_element_type=jnp.float32)
-        d2 = jnp.maximum(q2 + r2_c - 2.0 * cross, jnp.float32(1e-35))
+        pen_c = blk[3:4, :]                                # 0 / 3e38
+        # EXACT f32 VPU distances (see _knn_kernel): three broadcasted
+        # outer differences replace the 6%-utilization K=8 MXU cross
+        # term and its 3-pass split-f32 compensation
+        dx = q[:, 0:1] - blk[0:1, :]
+        dy = q[:, 1:2] - blk[1:2, :]
+        dz = q[:, 2:3] - blk[2:3, :]
+        d2 = jnp.maximum(dx * dx + dy * dy + dz * dz + pen_c,
+                         jnp.float32(1e-35))
         col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1) + ci * chunk
         bits = jax.lax.bitcast_convert_type(d2, jnp.int32)
         key = jax.lax.bitcast_convert_type(
@@ -153,9 +146,10 @@ def _knn_kernel_pruned(order_ref, lb_ref, ref_ref, q_ref, out_ref, buf_ref,
         process(order_ref[tile, j], j)
 
     # per-row kth-smallest over the home region -> tile-scalar tau.
-    # Packed keys sit within 2^-8 relative of the true distance and the
-    # XLA-side bounds are scaled by 0.98, so a 1.02 margin keeps the
-    # prune test strictly conservative.  A pre-fold to 128 lanes keeps
+    # Packed keys sit within 2^-8 relative of the true distance (the
+    # index bits replace low mantissa) and the XLA-side bounds are
+    # scaled by 0.98, so a 1.02 margin keeps the prune test strictly
+    # conservative.  A pre-fold to 128 lanes keeps
     # the k extraction passes cheap; group minima can only raise the
     # kth value, so tau stays a valid upper bound.
     work = buf_ref[:, :home * per_chunk]
@@ -286,12 +280,10 @@ def knn_pallas(
 
     ref_pad8 = jnp.zeros((8, n_full), jnp.float32)
     ref_pad8 = ref_pad8.at[:3, :n].set(rc.T)
-    # drop the |lo|^2 split residual to mirror the kernel's 3-pass
-    # cross term (see _knn_kernel): self-distances then cancel exactly
-    rc_lo = rc - rc.astype(jnp.bfloat16).astype(jnp.float32)
-    r2 = jnp.sum(rc * rc - rc_lo * rc_lo, axis=-1) + jnp.where(
-        ref_mask, 0.0, jnp.float32(3e38))
-    r2_row = jnp.pad(r2, (0, n_pad), constant_values=3e38)[None, :]
+    # validity penalty row (the kernel computes exact VPU distances, so
+    # no ||r||^2 term is needed — just 0 for valid, +3e38 for masked)
+    pen = jnp.where(ref_mask, 0.0, jnp.float32(3e38))
+    r2_row = jnp.pad(pen, (0, n_pad), constant_values=3e38)[None, :]
 
     m_pad = (-m) % tile_q
     q_pad8 = jnp.zeros((m + m_pad, 8), jnp.float32)
@@ -382,12 +374,10 @@ def _knn_pallas_pruned(
     idx_bits = max((n_full - 1).bit_length(), 1)
     per_chunk = chunk // group
 
-    rc_lo = rc_s - rc_s.astype(jnp.bfloat16).astype(jnp.float32)
-    r2 = jnp.sum(rc_s * rc_s - rc_lo * rc_lo, axis=-1) + jnp.where(
-        mask_s, 0.0, jnp.float32(3e38))
+    pen = jnp.where(mask_s, 0.0, jnp.float32(3e38))
     rb = jnp.zeros((8, n_full), jnp.float32)
     rb = rb.at[:3, :n].set(rc_s.T)
-    rb = rb.at[3, :].set(jnp.pad(r2, (0, n_pad), constant_values=3e38))
+    rb = rb.at[3, :].set(jnp.pad(pen, (0, n_pad), constant_values=3e38))
     ref_blocks = rb.reshape(8, n_chunks, chunk).transpose(1, 0, 2)
 
     m_pad = (-m) % tile_q

@@ -15,8 +15,15 @@ gather is the other ~15 ms and stays outside this kernel).
 This kernel keeps the whole post-gather chain in VMEM per query tile:
 
 - the caller gathers ONE combined key payload ``G = S[idx]`` where
-  ``S = [x_k | x_v | coord | valid-flag]`` with a sentinel row (flag 0)
-  for masked slots — identical contract to ops/pallas_attention.py;
+  ``S = [x_k | x_v | coord_hi | coord_lo | valid-flag]`` with a sentinel
+  row (flag 0) for masked slots — identical contract to
+  ops/pallas_attention.py.  Inference payloads are **bfloat16** (the
+  dominant HBM stream of the whole backbone — K=48 keys per query
+  across 21 blocks — halves; coords ride as a bf16 hi/lo split
+  recombining to ~16 mantissa bits in f32, so the quantized cRPE bins
+  stay exact, and the single-gather structure is preserved: TPU gather
+  cost scales with row count, so a separate coord gather measured
+  slower);
 - per tile: per-head q.k logits, the quantized relative-position bins,
   the three axis one-hots, the cRPE table selections (exact 0/1 MXU
   matmuls), the masked softmax over K, and the rel_value aggregation —
@@ -49,7 +56,8 @@ def _st_kernel(g_ref, q_ref, qc_ref, tab_ref, sel_ref, selt_ref, out_ref, *,
                c: int, k: int, h: int, l2: int, tile_q: int, scale: float,
                window_size: float, quant_size: float, rel_q: bool,
                rel_k: bool, rel_v: bool):
-    """g_ref: (TQ*K, Cg_pad) payload [k_g | v_g | coord(3) | flag | pad];
+    """g_ref: (TQ*K, Cg_pad) payload [k_g | v_g | coord_hi(3) |
+    coord_lo(3) | flag | pad] (f32 or bf16 — upcast on read);
     q_ref: (TQ, C); qc_ref: (TQ, 8) query coords (xyz + pad);
     tab_ref: (9*L2_pad, C) stacked cRPE tables, row-major
     [tq_x; tq_y; tq_z; tk_x; ...; tv_z] each padded to L2_pad rows
@@ -59,11 +67,11 @@ def _st_kernel(g_ref, q_ref, qc_ref, tab_ref, sel_ref, selt_ref, out_ref, *,
     tk = tile_q * k
     l2_pad = _round_up(l2, _LANE)
 
-    g = g_ref[:, :]
+    g = g_ref[:, :].astype(jnp.float32)
     k_g = g[:, :c]                                        # (TK, C)
     v_g = g[:, c:2 * c]                                   # (TK, C)
-    pos = g[:, 2 * c:2 * c + 3]                           # (TK, 3)
-    flag = g[:, 2 * c + 3:2 * c + 4]                      # (TK, 1)
+    pos = g[:, 2 * c:2 * c + 3] + g[:, 2 * c + 3:2 * c + 6]
+    flag = g[:, 2 * c + 6:2 * c + 7]                      # (TK, 1)
 
     q = q_ref[:, :]                                       # (TQ, C)
     q_b = jnp.broadcast_to(q[:, None, :], (tile_q, k, c)).reshape(tk, c)
@@ -71,8 +79,11 @@ def _st_kernel(g_ref, q_ref, qc_ref, tab_ref, sel_ref, selt_ref, out_ref, *,
     qc_b = jnp.broadcast_to(qc[:, None, :], (tile_q, k, 3)).reshape(tk, 3)
 
     sel = sel_ref[:, :]                                   # (C, H_pad)
-    # per-head q.k logits: head_sum(scale * q ⊙ k) via the 0/1 selector
-    logits = jnp.dot((q_b * scale) * k_g, sel,
+    # the reference scales q ONCE before both the q.k logits and the
+    # rel_query table dot (stratified_transformer_v1m1_origin.py:276-299)
+    q_b = q_b * scale
+    # per-head q.k logits: head_sum(q_scaled ⊙ k) via the 0/1 selector
+    logits = jnp.dot(q_b * k_g, sel,
                      preferred_element_type=jnp.float32)  # (TK, H_pad)
 
     # quantized relative-position bins per axis (st.py chunk_fn)
@@ -140,7 +151,7 @@ def _pick_tile(k: int, cg_pad: int, budget: int = 768 * 1024) -> int:
 
 @functools.partial(jax.jit, static_argnames=(
     "num_heads", "window_size", "quant_size", "l2", "rel_q", "rel_k",
-    "rel_v", "interpret", "tile_q"))
+    "rel_v", "interpret", "tile_q", "payload_dtype"))
 def fused_st_attention(
     q: jnp.ndarray,
     coord_q: jnp.ndarray,
@@ -161,6 +172,7 @@ def fused_st_attention(
     rel_v: bool = True,
     interpret: bool = False,
     tile_q: int = 0,
+    payload_dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
     """Fused ST window attention over batched padded samples.
 
@@ -181,17 +193,23 @@ def fused_st_attention(
     k = key_idx.shape[-1]
     h = num_heads
     scale = (c // h) ** -0.5
-    cg = 2 * c + 4
+    cg = 2 * c + 7
     cg_pad = _round_up(cg, _LANE)
     l2_pad = _round_up(l2, _LANE)
     h_pad = _LANE
 
     flag = jnp.ones((b, n, 1), jnp.float32)
+    ckf = coord_k.astype(jnp.float32)
+    if payload_dtype == jnp.float32:
+        hi, lo = ckf, jnp.zeros_like(ckf)
+    else:
+        hi = ckf.astype(payload_dtype).astype(jnp.float32)
+        lo = ckf - hi
     src = jnp.concatenate(
-        [x_k.astype(jnp.float32), x_v.astype(jnp.float32),
-         coord_k.astype(jnp.float32), flag], axis=-1)
+        [x_k.astype(jnp.float32), x_v.astype(jnp.float32), hi, lo, flag],
+        axis=-1)
     src = jnp.pad(src, ((0, 0), (0, 1), (0, cg_pad - cg)))
-    src = src.reshape(b * (n + 1), cg_pad)
+    src = src.astype(payload_dtype).reshape(b * (n + 1), cg_pad)
 
     safe_idx = jnp.where(key_mask, key_idx, n)             # sentinel
     offs = (jnp.arange(b, dtype=jnp.int32) * (n + 1))[:, None, None]

@@ -42,9 +42,34 @@ def _init_and_ref(layer, pts):
 
 
 def test_fused_matches_unfused(layer_setup):
+    """f32 payload: the fused chain must match the unfused path tightly
+    (the only difference is evaluation order)."""
     layer, pts = layer_setup
     variables, ref = _init_and_ref(layer, pts)
 
+    old = ptmod.FUSED_ATTENTION
+    old_dt = ptmod.FUSED_PAYLOAD_DTYPE
+    ptmod.FUSED_ATTENTION = "interpret"
+    ptmod.FUSED_PAYLOAD_DTYPE = "float32"
+    try:
+        out = jax.jit(lambda v: layer.apply(v, pts, False))(variables)
+    finally:
+        ptmod.FUSED_ATTENTION = old
+        ptmod.FUSED_PAYLOAD_DTYPE = old_dt
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_fused_bf16_payload_close(layer_setup):
+    """The default bf16 [k|v] payload (halved HBM bytes) must stay
+    within bf16 rounding of the unfused f32 path: relative positions
+    are computed in f32 BEFORE the cast, so only the k/v features carry
+    the ~2^-8 quantization."""
+    layer, pts = layer_setup
+    variables, ref = _init_and_ref(layer, pts)
+
+    assert ptmod.FUSED_PAYLOAD_DTYPE == "bfloat16"  # the shipped default
     old = ptmod.FUSED_ATTENTION
     ptmod.FUSED_ATTENTION = "interpret"
     try:
@@ -52,8 +77,11 @@ def test_fused_matches_unfused(layer_setup):
     finally:
         ptmod.FUSED_ATTENTION = old
 
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=1e-4, atol=1e-5)
+    ref_h, out_h = np.asarray(ref), np.asarray(out)
+    scale = np.abs(ref_h).max() + 1e-9
+    rel = np.abs(out_h - ref_h) / scale
+    assert float(np.quantile(rel, 0.999)) < 2e-2, float(rel.max())
+    assert np.all(np.isfinite(out_h))
 
 
 def test_fused_param_tree_identical(layer_setup):

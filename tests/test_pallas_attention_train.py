@@ -32,13 +32,19 @@ def layer_setup():
     return layer, coord, feat, mask
 
 
-def _with_mode(mode, fn):
+def _with_mode(mode, fn, payload_dtype="float32"):
+    """Pin the payload dtype to f32 by default: these tests assert the
+    fused-train machinery against the unfused f32 path to tight bounds;
+    the shipped bf16 default is covered by its own tolerance test."""
     old = ptmod.FUSED_ATTENTION
+    old_dt = ptmod.FUSED_PAYLOAD_DTYPE
     ptmod.FUSED_ATTENTION = mode
+    ptmod.FUSED_PAYLOAD_DTYPE = payload_dtype
     try:
         return fn()
     finally:
         ptmod.FUSED_ATTENTION = old
+        ptmod.FUSED_PAYLOAD_DTYPE = old_dt
 
 
 def _init(layer, pts):
@@ -145,3 +151,36 @@ def test_train_masked_rows_zero_grad(layer_setup):
 
     g = _with_mode("interpret", lambda: jax.jit(jax.grad(loss_fn))(feat))
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_train_bf16_payload_close(layer_setup):
+    """The shipped bf16 train payload (halved HBM bytes for payload,
+    VJP residual and dg) must stay within bf16 rounding of the f32
+    unfused path — outputs AND gradients: k/v features carry ~2^-8
+    quantization, coords recombine exactly via the hi/lo split."""
+    layer, coord, feat, mask = layer_setup
+    pts = Points(coord, feat, mask)
+    variables = _init(layer, pts)
+    wvec = jax.random.normal(jax.random.PRNGKey(3), feat.shape[:2] + (32,))
+
+    def loss_fn(params, f):
+        out, _ = layer.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            Points(coord, f, mask), True, mutable=["batch_stats"])
+        return jnp.sum(out * wvec), out
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn, argnums=1,
+                                         has_aux=True))
+    (_, ref), gf_ref = _with_mode(
+        "off", lambda: grad_fn(variables["params"], feat))
+    grad_fn2 = jax.jit(jax.value_and_grad(loss_fn, argnums=1,
+                                          has_aux=True))
+    (_, out), gf = _with_mode(
+        "interpret", lambda: grad_fn2(variables["params"], feat),
+        payload_dtype="bfloat16")
+
+    for got, want in ((out, ref), (gf, gf_ref)):
+        got, want = np.asarray(got), np.asarray(want)
+        assert np.all(np.isfinite(got))
+        rel = np.abs(got - want) / (np.abs(want).max() + 1e-9)
+        assert float(np.quantile(rel, 0.999)) < 2e-2, float(rel.max())
